@@ -1,0 +1,16 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-device tests exercise DP/collectives without TPU hardware via
+``--xla_force_host_platform_device_count`` (the standard JAX fake-device
+trick). Must run before jax initializes, hence the env mutation at import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
