@@ -1,0 +1,460 @@
+"""Tacotron2 generator, TPU-native (reference: model.py:15-497, 586-723).
+
+Architecture parity with the reference GANtron generator:
+  symbol embedding -> [optional emotion/noise channels] -> conv encoder ->
+  BiLSTM -> [optional speaker/emotion memory concat + noise] ->
+  autoregressive decoder with location-sensitive attention -> postnet.
+
+TPU-first design choices (vs. the reference's frame-level Python loop,
+model.py:444-449):
+  * the teacher-forced decoder is ONE ``lax.scan`` over frames; the prenet,
+    the prenet->LSTM input projection, the mel projection and the gate layer
+    are hoisted out of the scan into large batched MXU matmuls;
+  * inference is a fixed-length scan with an on-device gate-threshold stop
+    (no per-frame device->host sync, unlike reference model.py:486);
+  * all shapes are static; variable lengths are handled by masks.
+
+Activations are channel-last internally; public outputs use the reference's
+(B, n_mel, T) layout.
+"""
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gantron_tpu.models.modules import BatchNorm, ConvNorm, xavier_uniform
+from gantron_tpu.ops.rnn import (LSTMParams, lstm_params_init, masked_bilstm)
+
+N_EMOTIONS = 5
+N_SPEAKERS = 123
+
+
+def get_mask_from_lengths(lengths, max_len):
+    """(B,) -> (B, max_len) boolean validity mask."""
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+def _dropout(x, rate, key):
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class Encoder(nn.Module):
+    """3 conv layers + BiLSTM (reference model.py:154-224)."""
+
+    hp: object
+
+    @nn.compact
+    def __call__(self, x, input_lengths, train: bool, dropout_rng):
+        hp = self.hp
+        for i in range(hp.encoder_n_convolutions):
+            x = ConvNorm(hp.encoder_embedding_dim,
+                         kernel_size=hp.encoder_kernel_size, gain="relu",
+                         name=f"conv_{i}")(x)
+            x = BatchNorm(name=f"bn_{i}")(x, train)
+            x = jax.nn.relu(x)
+            if train:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                x = _dropout(x, 0.5, sub)
+
+        H = hp.encoder_embedding_dim // 2
+        fw = self.param("lstm_fw",
+                        lambda k: lstm_params_init(k, hp.encoder_embedding_dim, H))
+        bw = self.param("lstm_bw",
+                        lambda k: lstm_params_init(k, hp.encoder_embedding_dim, H))
+        return masked_bilstm(LSTMParams(*fw), LSTMParams(*bw), x, input_lengths)
+
+
+class Postnet(nn.Module):
+    """5 conv layers refining the mel (reference model.py:108-151)."""
+
+    hp: object
+
+    @nn.compact
+    def __call__(self, x, train: bool, dropout_rng):
+        hp = self.hp
+        n = hp.postnet_n_convolutions
+        for i in range(n):
+            last = i == n - 1
+            feats = hp.n_mel_channels if last else hp.postnet_embedding_dim
+            gain = "linear" if last else "tanh"
+            x = ConvNorm(feats, kernel_size=hp.postnet_kernel_size, gain=gain,
+                         name=f"conv_{i}")(x)
+            x = BatchNorm(name=f"bn_{i}")(x, train)
+            if not last:
+                x = jnp.tanh(x)
+            if train:
+                dropout_rng, sub = jax.random.split(dropout_rng)
+                x = _dropout(x, 0.5, sub)
+        return x
+
+
+class Decoder(nn.Module):
+    """Autoregressive mel decoder with location-sensitive attention
+    (reference model.py:227-497), implemented as a single lax.scan."""
+
+    hp: object
+    memory_dim: int  # encoder output dim + all conditioning concats
+
+    def setup(self):
+        hp = self.hp
+        D = self.memory_dim
+        P, A, R, M = (hp.prenet_dim, hp.attention_rnn_dim, hp.decoder_rnn_dim,
+                      hp.n_mel_channels)
+        xavier = xavier_uniform
+        self.prenet_w0 = self.param("prenet_w0", xavier("linear"), (M, P))
+        self.prenet_w1 = self.param("prenet_w1", xavier("linear"), (P, P))
+        self.attention_rnn = LSTMParams(*self.param(
+            "attention_rnn", lambda k: lstm_params_init(k, P + D, A)))
+        self.query_w = self.param("query_w", xavier("tanh"),
+                                  (A, hp.attention_dim))
+        self.memory_w = self.param("memory_w", xavier("tanh"),
+                                   (D, hp.attention_dim))
+        self.v_w = self.param("v_w", xavier("linear"), (hp.attention_dim, 1))
+        self.loc_conv_w = self.param(
+            "loc_conv_w", xavier("linear"),
+            (hp.attention_location_kernel_size, 2,
+             hp.attention_location_n_filters))
+        self.loc_dense_w = self.param(
+            "loc_dense_w", xavier("tanh"),
+            (hp.attention_location_n_filters, hp.attention_dim))
+        self.decoder_rnn = LSTMParams(*self.param(
+            "decoder_rnn", lambda k: lstm_params_init(k, A + D, R)))
+        self.proj_w = self.param("proj_w", xavier("linear"), (R + D, M))
+        self.proj_b = self.param("proj_b", nn.initializers.zeros, (M,))
+        self.gate_w = self.param("gate_w", xavier("sigmoid"), (R + D, 1))
+        self.gate_b = self.param("gate_b", nn.initializers.zeros, (1,))
+
+    # -- pieces -------------------------------------------------------------
+    def _prenet(self, x, key):
+        k0, k1 = jax.random.split(key)
+        x = _dropout(jax.nn.relu(x @ self.prenet_w0), 0.5, k0)
+        x = _dropout(jax.nn.relu(x @ self.prenet_w1), 0.5, k1)
+        return x
+
+    def _location(self, attn_w, attn_w_cum):
+        cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # (B, T_in, 2)
+        loc = jax.lax.conv_general_dilated(
+            cat, self.loc_conv_w, window_strides=(1,),
+            padding=[(self.hp.attention_location_kernel_size // 2,) * 2],
+            dimension_numbers=("NWC", "WIO", "NWC"))
+        return loc @ self.loc_dense_w  # (B, T_in, attention_dim)
+
+    def _attend(self, attn_h, memory, processed_memory, attn_w, attn_w_cum,
+                mask):
+        processed_query = (attn_h @ self.query_w)[:, None]  # (B, 1, att)
+        processed_loc = self._location(attn_w, attn_w_cum)
+        energies = jnp.tanh(processed_query + processed_loc
+                            + processed_memory) @ self.v_w  # (B, T_in, 1)
+        energies = energies[..., 0]
+        if mask is not None:
+            energies = jnp.where(mask, energies, -jnp.inf)
+        weights = jax.nn.softmax(energies, axis=1)
+        context = jnp.einsum("bt,btd->bd", weights, memory)
+        return context, weights
+
+    def _init_state(self, memory):
+        B, T_in, _ = memory.shape
+        hp = self.hp
+        z = lambda *s: jnp.zeros(s, memory.dtype)
+        return (z(B, hp.attention_rnn_dim), z(B, hp.attention_rnn_dim),
+                z(B, hp.decoder_rnn_dim), z(B, hp.decoder_rnn_dim),
+                z(B, T_in), z(B, T_in), z(B, self.memory_dim))
+
+    def _step_core(self, carry, attn_in_proj, key, memory, processed_memory,
+                   mask, train):
+        """Shared per-frame math. ``attn_in_proj`` = prenet_t @ w_ih[:P] + b."""
+        attn_h, attn_c, dec_h, dec_c, attn_w, attn_w_cum, context = carry
+        P = self.hp.prenet_dim
+        rnn = self.attention_rnn
+        gates = (attn_in_proj + context @ rnn.w_ih[P:] + attn_h @ rnn.w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        attn_c = jax.nn.sigmoid(f) * attn_c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        attn_h = jax.nn.sigmoid(o) * jnp.tanh(attn_c)
+        k0, k1 = jax.random.split(key)
+        if train and self.hp.p_attention_dropout > 0:
+            attn_h = _dropout(attn_h, self.hp.p_attention_dropout, k0)
+
+        context, attn_w_new = self._attend(attn_h, memory, processed_memory,
+                                           attn_w, attn_w_cum, mask)
+        attn_w_cum = attn_w_cum + attn_w_new
+
+        rnn2 = self.decoder_rnn
+        dec_in = jnp.concatenate([attn_h, context], axis=-1)
+        gates2 = dec_in @ rnn2.w_ih + dec_h @ rnn2.w_hh + rnn2.b
+        i, f, g, o = jnp.split(gates2, 4, axis=-1)
+        dec_c = jax.nn.sigmoid(f) * dec_c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        dec_h = jax.nn.sigmoid(o) * jnp.tanh(dec_c)
+        if train and self.hp.p_decoder_dropout > 0:
+            dec_h = _dropout(dec_h, self.hp.p_decoder_dropout, k1)
+
+        carry = (attn_h, attn_c, dec_h, dec_c, attn_w_new, attn_w_cum, context)
+        return carry
+
+    # -- teacher-forced training pass ---------------------------------------
+    def __call__(self, memory, mels, memory_lengths, train: bool,
+                 dropout_rng):
+        """memory: (B, T_in, D); mels: (B, n_mel, T_out) ground truth.
+
+        Returns (mel_outputs (B, n_mel, T_out), gate_outputs (B, T_out),
+        alignments (B, T_out, T_in)).
+        """
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        T_out = mels.shape[2]
+        mask = get_mask_from_lengths(memory_lengths, T_in)
+        processed_memory = memory @ self.memory_w
+
+        # Teacher-forced inputs: go frame + all-but-last target frames.
+        frames = jnp.concatenate(
+            [jnp.zeros((B, hp.n_mel_channels, 1), mels.dtype), mels[:, :, :-1]],
+            axis=2).transpose(2, 0, 1)  # (T_out, B, n_mel)
+
+        # Prenet + attention-RNN input projection, hoisted out of the scan.
+        k_pre, k_scan = jax.random.split(dropout_rng)
+        prenet_out = self._prenet(frames, k_pre)  # (T_out, B, P)
+        P = hp.prenet_dim
+        attn_in_proj = (prenet_out @ self.attention_rnn.w_ih[:P]
+                        + self.attention_rnn.b)  # (T_out, B, 4A)
+
+        keys = jax.random.split(k_scan, T_out)
+
+        def step(carry, xs):
+            proj_t, key_t = xs
+            carry = self._step_core(carry, proj_t, key_t, memory,
+                                    processed_memory, mask, train)
+            dec_h, context, attn_w = carry[2], carry[6], carry[4]
+            return carry, (dec_h, context, attn_w)
+
+        _, (dec_hs, contexts, attn_ws) = jax.lax.scan(
+            step, self._init_state(memory), (attn_in_proj, keys))
+
+        # Output projections hoisted: (T_out, B, R + D) in two big matmuls.
+        hidden_ctx = jnp.concatenate([dec_hs, contexts], axis=-1)
+        mel_out = hidden_ctx @ self.proj_w + self.proj_b  # (T_out, B, n_mel)
+        gate_out = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]  # (T,B)
+
+        return (mel_out.transpose(1, 2, 0), gate_out.T,
+                attn_ws.transpose(1, 0, 2))
+
+    # -- free-running inference ---------------------------------------------
+    def infer(self, memory, dropout_rng, max_steps: Optional[int] = None):
+        """Open-loop decoding with on-device gate stopping.
+
+        Returns (mel_outputs (B, n_mel, S), gate_outputs (B, S),
+        alignments (B, S, T_in), mel_lengths (B,)) where S = max_steps.
+        """
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        S = max_steps or hp.max_decoder_steps
+        processed_memory = memory @ self.memory_w
+        P = hp.prenet_dim
+
+        keys = jax.random.split(dropout_rng, S)
+        state0 = self._init_state(memory)
+        prev0 = jnp.zeros((B, hp.n_mel_channels), memory.dtype)
+        finished0 = jnp.zeros((B,), bool)
+        length0 = jnp.full((B,), S, jnp.int32)
+
+        def step(carry, xs):
+            state, prev, finished, length, t = carry
+            key_t = xs
+            k_pre, k_core = jax.random.split(key_t)
+            prenet_t = self._prenet(prev, k_pre)
+            proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
+            state = self._step_core(state, proj_t, k_core, memory,
+                                    processed_memory, None, False)
+            dec_h, context, attn_w = state[2], state[6], state[4]
+            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
+            mel_t = hidden_ctx @ self.proj_w + self.proj_b
+            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
+
+            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
+            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
+            length = jnp.where(newly, t + 1, length)
+            finished = jnp.logical_or(finished, stop_now)
+            return ((state, mel_t, finished, length, t + 1),
+                    (mel_t, gate_t, attn_w))
+
+        (_, _, _, lengths, _), (mels, gates, attn_ws) = jax.lax.scan(
+            step, (state0, prev0, finished0, length0, jnp.int32(0)), keys)
+
+        return (mels.transpose(1, 2, 0), gates.T, attn_ws.transpose(1, 0, 2),
+                lengths)
+
+
+class Tacotron2(nn.Module):
+    """GANtron generator (reference model.py:586-723)."""
+
+    hp: object
+
+    @property
+    def use_labels(self) -> bool:
+        return bool(self.hp.use_labels and self.hp.vesus_path)
+
+    @property
+    def noise_size(self) -> int:
+        return self.hp.noise_size if self.hp.use_noise else 0
+
+    @property
+    def memory_dim(self) -> int:
+        """Decoder-side memory width after all concats
+        (reference model.py:240-246)."""
+        hp = self.hp
+        d = hp.encoder_embedding_dim
+        if not hp.encoder_inputs:
+            d += self.noise_size
+        if hp.vesus_path:
+            d += hp.speakers_embedding
+            if self.use_labels and not hp.encoder_inputs:
+                d += N_EMOTIONS
+        return d
+
+    def setup(self):
+        hp = self.hp
+        std = np.sqrt(2.0 / (hp.n_symbols + hp.symbols_embedding_dim))
+        val = np.sqrt(3.0) * std
+        self.embedding = self.param(
+            "embedding",
+            lambda k: jax.random.uniform(
+                k, (hp.n_symbols, hp.symbols_embedding_dim), jnp.float32,
+                -val, val))
+        if hp.vesus_path:
+            self.speaker_embedding = self.param(
+                "speaker_embedding",
+                lambda k: jax.random.uniform(
+                    k, (N_SPEAKERS, hp.speakers_embedding), jnp.float32,
+                    -val, val))
+        self.encoder = Encoder(hp, name="encoder")
+        self.decoder = Decoder(hp, self.memory_dim, name="decoder")
+        self.postnet = Postnet(hp, name="postnet")
+
+    # -- conditioning plumbing ----------------------------------------------
+    def _encoder_side_concat(self, embedded, emotions, noise_rng, style):
+        """Emotion/noise channels appended to the conv stack input
+        (reference model.py:184-191, 649-651) when encoder_inputs=True."""
+        hp = self.hp
+        B, T = embedded.shape[:2]
+        parts = [embedded]
+        if hp.encoder_inputs and self.use_labels and emotions is not None:
+            parts.append(jnp.broadcast_to(emotions[:, None, :],
+                                          (B, T, N_EMOTIONS)))
+        if hp.encoder_inputs and self.noise_size > 0:
+            if style is None:
+                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size))
+            parts.append(jnp.broadcast_to(style, (B, T, self.noise_size)))
+        return jnp.concatenate(parts, -1) if len(parts) > 1 else embedded
+
+    def _memory_side_concat(self, encoder_outputs, speaker_ids, emotions,
+                            noise_rng, style):
+        """Speaker/emotion/noise concat to decoder memory
+        (reference model.py:273-279, 655-663)."""
+        hp = self.hp
+        B, T = encoder_outputs.shape[:2]
+        parts = [encoder_outputs]
+        if hp.vesus_path:
+            spk = jnp.take(self.speaker_embedding, speaker_ids, axis=0)
+            parts.append(jnp.broadcast_to(spk[:, None, :],
+                                          (B, T, hp.speakers_embedding)))
+            if self.use_labels and not hp.encoder_inputs and emotions is not None:
+                parts.append(jnp.broadcast_to(emotions[:, None, :],
+                                              (B, T, N_EMOTIONS)))
+        if not hp.encoder_inputs and self.noise_size > 0:
+            if style is None:
+                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size))
+            parts.append(jnp.broadcast_to(style, (B, T, self.noise_size)))
+        return jnp.concatenate(parts, -1) if len(parts) > 1 else encoder_outputs
+
+    # -- training forward ---------------------------------------------------
+    def __call__(self, text, text_lengths, mels, speaker_ids, emotions,
+                 output_lengths, train: bool = True):
+        """Teacher-forced forward (reference model.py:644-673).
+
+        Returns [mel_outputs, mel_outputs_postnet, gate_outputs, alignments]
+        with padded frames masked (mel -> 0, gate energy -> 1e3).
+        """
+        hp = self.hp
+        noise_rng = (self.make_rng("noise")
+                     if self.noise_size > 0 else None)
+        dropout_rng = self.make_rng("dropout")
+        k_enc, k_dec, k_post = jax.random.split(dropout_rng, 3)
+        k_noise_enc = k_noise_mem = None
+        if noise_rng is not None:
+            k_noise_enc, k_noise_mem = jax.random.split(noise_rng)
+
+        embedded = jnp.take(self.embedding, text, axis=0)  # (B, T, 512)
+        embedded = self._encoder_side_concat(embedded, emotions, k_noise_enc,
+                                             None)
+        encoder_outputs = self.encoder(embedded, text_lengths, train, k_enc)
+        memory = self._memory_side_concat(encoder_outputs, speaker_ids,
+                                          emotions, k_noise_mem, None)
+
+        mel_outputs, gate_outputs, alignments = self.decoder(
+            memory, mels, text_lengths, train, k_dec)
+
+        post = self.postnet(mel_outputs.transpose(0, 2, 1), train, k_post)
+        mel_outputs_postnet = mel_outputs + post.transpose(0, 2, 1)
+
+        return self.parse_output(
+            [mel_outputs, mel_outputs_postnet, gate_outputs, alignments],
+            output_lengths)
+
+    def parse_output(self, outputs, output_lengths=None):
+        """Mask padded frames (reference model.py:632-642)."""
+        if self.hp.mask_padding and output_lengths is not None:
+            T_out = outputs[0].shape[2]
+            valid = get_mask_from_lengths(output_lengths, T_out)  # (B, T)
+            outputs[0] = jnp.where(valid[:, None, :], outputs[0], 0.0)
+            outputs[1] = jnp.where(valid[:, None, :], outputs[1], 0.0)
+            outputs[2] = jnp.where(valid, outputs[2], 1e3)
+        return outputs
+
+    # -- inference ----------------------------------------------------------
+    def infer(self, text, style=None, emotions=None, speaker=None,
+              max_steps: Optional[int] = None):
+        """Open-loop inference (reference model.py:675-723).
+
+        ``text``: (B, T) int32 symbol ids. ``style``: optional (B, 1, noise)
+        or (B, T, noise). Returns [mel, mel_postnet, gate, alignments,
+        mel_lengths].
+        """
+        hp = self.hp
+        B, T = text.shape
+        dropout_rng = self.make_rng("dropout")
+        noise_rng = (self.make_rng("noise") if
+                     (self.noise_size > 0 and style is None)
+                     or (self.use_labels and emotions is None)
+                     else None)
+
+        if self.use_labels and emotions is None:
+            noise_rng, sub = jax.random.split(noise_rng)
+            emotions = jax.random.uniform(sub, (B, N_EMOTIONS))
+
+        k_enc, k_dec, k_post = jax.random.split(dropout_rng, 3)
+        enc_style = style if hp.encoder_inputs else None
+        mem_style = None if hp.encoder_inputs else style
+        if style is not None and style.ndim == 3 and style.shape[1] not in (1, T):
+            raise ValueError("style must broadcast over input positions")
+
+        embedded = jnp.take(self.embedding, text, axis=0)
+        embedded = self._encoder_side_concat(embedded, emotions, noise_rng,
+                                             enc_style)
+        lengths = jnp.full((B,), T, jnp.int32)
+        encoder_outputs = self.encoder(embedded, lengths, False, k_enc)
+
+        spk = speaker if speaker is not None else jnp.zeros((B,), jnp.int32)
+        memory = self._memory_side_concat(encoder_outputs, spk,
+                                          None if hp.encoder_inputs else emotions,
+                                          noise_rng, mem_style)
+
+        mel_outputs, gate_outputs, alignments, mel_lengths = self.decoder.infer(
+            memory, k_dec, max_steps)
+
+        post = self.postnet(mel_outputs.transpose(0, 2, 1), False, k_post)
+        mel_outputs_postnet = mel_outputs + post.transpose(0, 2, 1)
+
+        return [mel_outputs, mel_outputs_postnet, gate_outputs, alignments,
+                mel_lengths]

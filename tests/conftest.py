@@ -14,3 +14,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# Numerical-parity tests compare against float32 torch oracles; make f32
+# matmuls actually run in f32 (perf paths opt into bf16 via explicit dtypes).
+jax.config.update("jax_default_matmul_precision", "float32")
