@@ -1,0 +1,207 @@
+"""Text+mel dataset with bucketed static-shape batching.
+
+Replaces the reference TextMelLoader/TextMelCollate (data_utils.py:13-131)
+with a TPU-friendly pipeline:
+
+  * text -> symbol ids at construction (cheap, cached);
+  * mel extraction through the jnp ``MelSpectrogram`` (optionally cached to
+    .npy next to the wav — ``prepare_mel_cache``), or loaded from disk
+    (``load_mel_from_disk``);
+  * batches are padded up to (text_bucket, mel_bucket) boundaries instead of
+    the per-batch max, so the jitted train step compiles a small, bounded set
+    of shapes. Mel buckets are rounded up to discriminator-window multiples.
+  * no length-sorting (needed only for torch's pack_padded_sequence); the
+    masked BiLSTM handles arbitrary order.
+
+Gate targets are 1 from each sample's last valid frame onward
+(reference data_utils.py:127).
+"""
+
+import os
+import random
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gantron_tpu.audio import MelSpectrogram
+from gantron_tpu.data.filelists import load_filepaths_and_text, load_vesus
+from gantron_tpu.data.wav import load_wav
+from gantron_tpu.text import text_to_sequence
+from gantron_tpu.train.step import Batch
+
+
+def pick_bucket(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+class TextMelDataset:
+    def __init__(self, audiopaths_and_text_files, hp, wavs_path,
+                 mel_cache_dir: Optional[str] = None):
+        self.hp = hp
+        self.entries = []  # (audiopath, text_ids, speaker, emotions)
+
+        lj = load_filepaths_and_text(audiopaths_and_text_files[0], wavs_path)
+        # LJ rows get speaker 0 and zero emotions (reference
+        # data_utils.py:26-30).
+        rows = [(r[0], r[1], 0, [0.0] * 5) for r in lj]
+
+        if hp.vesus_path:
+            mode = "intended" if hp.use_intended_labels else "multi"
+            v_paths, v_speakers, v_emotions = load_vesus(
+                audiopaths_and_text_files[1], hp.vesus_path, use_labels=mode)
+            rows += [(p, t, s, list(e)) for (p, t), s, e in
+                     zip(v_paths, v_speakers, v_emotions)]
+
+        for path, text, speaker, emotions in rows:
+            ids = np.asarray(text_to_sequence(text, hp.text_cleaners),
+                             np.int32)
+            self.entries.append((path, ids, speaker,
+                                 np.asarray(emotions, np.float32)))
+
+        self.mel_fn = MelSpectrogram(
+            hp.filter_length, hp.hop_length, hp.win_length, hp.n_mel_channels,
+            hp.sampling_rate, hp.mel_fmin, hp.mel_fmax)
+        self.mel_cache_dir = mel_cache_dir
+        self.load_mel_from_disk = hp.load_mel_from_disk
+
+        # Deterministic shuffled index indirection (reference
+        # data_utils.py:36-42).
+        self.idx = list(range(len(self.entries)))
+        rng = random.Random(hp.seed)
+        rng.shuffle(self.idx)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def _mel_path(self, audiopath: str) -> str:
+        base = os.path.splitext(audiopath)[0] + ".mel.npy"
+        if self.mel_cache_dir:
+            return os.path.join(self.mel_cache_dir,
+                                os.path.basename(base))
+        return base
+
+    def get_mel(self, audiopath: str) -> np.ndarray:
+        """(n_mel, T) float32."""
+        if self.load_mel_from_disk:
+            mel = np.load(audiopath, allow_pickle=True)
+            assert mel.shape[0] == self.hp.n_mel_channels
+            return mel.astype(np.float32)
+        cache = self._mel_path(audiopath)
+        if os.path.exists(cache):
+            return np.load(cache)
+        wav = load_wav(audiopath, self.hp.sampling_rate)
+        mel = np.asarray(self.mel_fn(wav[None]))[0]
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            np.save(cache, mel)
+        except OSError:
+            pass  # read-only dataset dir: recompute next epoch
+        return mel
+
+    def __getitem__(self, index: int):
+        path, ids, speaker, emotions = self.entries[self.idx[index]]
+        return ids, self.get_mel(path), speaker, emotions
+
+
+def collate(samples, hp, text_buckets=None, mel_buckets=None) -> Batch:
+    """Pad a list of (text_ids, mel, speaker, emotions) to bucket shapes."""
+    text_buckets = text_buckets or hp.text_buckets
+    mel_buckets = mel_buckets or hp.mel_buckets
+    W = max(hp.discriminator_window, hp.n_frames_per_step)
+
+    B = len(samples)
+    max_t = max(len(s[0]) for s in samples)
+    max_m = max(s[1].shape[1] for s in samples)
+    T_in = pick_bucket(max_t, text_buckets)
+    T_out = pick_bucket(max_m, mel_buckets)
+    T_out = ((T_out + W - 1) // W) * W  # window multiple for the GAN
+    # Never truncate: grow past the last bucket if a sample exceeds it.
+    T_in = max(T_in, max_t)
+    T_out = max(((max_m + W - 1) // W) * W, T_out)
+
+    text = np.zeros((B, T_in), np.int32)
+    text_lengths = np.zeros((B,), np.int32)
+    mels = np.zeros((B, hp.n_mel_channels, T_out), np.float32)
+    gate = np.zeros((B, T_out), np.float32)
+    speaker = np.zeros((B,), np.int32)
+    emotions = np.zeros((B, 5), np.float32)
+    output_lengths = np.zeros((B,), np.int32)
+
+    for i, (ids, mel, spk, emo) in enumerate(samples):
+        L, M = len(ids), mel.shape[1]
+        text[i, :L] = ids
+        text_lengths[i] = L
+        mels[i, :, :M] = mel
+        gate[i, M - 1 :] = 1.0
+        speaker[i] = spk
+        emotions[i] = emo
+        output_lengths[i] = M
+
+    return Batch(text=text, text_lengths=text_lengths, mels=mels, gate=gate,
+                 speaker=speaker, emotions=emotions,
+                 output_lengths=output_lengths)
+
+
+class DataLoader:
+    """Sequential batcher over the shuffled dataset (drop_last like the
+    reference train loader, train.py:107-110)."""
+
+    def __init__(self, dataset: TextMelDataset, hp, batch_size=None,
+                 shuffle=True, drop_last=True, seed=None):
+        self.dataset = dataset
+        self.hp = hp
+        self.batch_size = batch_size or hp.batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = hp.seed if seed is None else seed
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        batch: List = []
+        for i in order:
+            batch.append(self.dataset[i])
+            if len(batch) == self.batch_size:
+                yield collate(batch, self.hp)
+                batch = []
+        if batch and not self.drop_last:
+            yield collate(batch, self.hp)
+
+
+class SyntheticDataset:
+    """Deterministic synthetic samples with realistic length distribution —
+    used by benchmarks and smoke tests when no corpus is mounted."""
+
+    def __init__(self, hp, size=256, t_in=(40, 180), t_out=(180, 860),
+                 seed=0):
+        self.hp = hp
+        self.size = size
+        rng = np.random.RandomState(seed)
+        self.samples = []
+        for _ in range(size):
+            L = int(rng.randint(*t_in))
+            M = int(rng.randint(*t_out))
+            ids = rng.randint(1, hp.n_symbols, L).astype(np.int32)
+            mel = (rng.randn(hp.n_mel_channels, M) * 1.5 - 6.0).astype(
+                np.float32)
+            self.samples.append(
+                (ids, mel, 0, rng.rand(5).astype(np.float32)))
+        self.idx = list(range(size))
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        return self.samples[self.idx[index]]

@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL data parallelism
+(reference: distributed.py:126-173, multiproc.py): instead of per-GPU
+processes with bucketed gradient all-reduce hooks, we lay a
+``jax.sharding.Mesh`` over all chips, shard the batch along the ``data``
+axis, replicate parameters, and let XLA insert the gradient all-reduces over
+ICI inside the jitted train step. Multi-host entry is
+``jax.distributed.initialize`` (one process per host) — no launcher needed.
+
+The mesh is 1-D today; the axis tuple is written so tensor axes can be added
+without touching call sites.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(shape: Optional[Sequence[int]] = None,
+              axis_names: Sequence[str] = (DATA_AXIS,)) -> Mesh:
+    devices = np.asarray(jax.devices())
+    if shape is None:
+        shape = (len(devices),)
+    return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put every array in a batch pytree with the batch dim sharded."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_state(state, mesh: Mesh):
+    """Replicate the train state across the mesh."""
+    sharding = replicate_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)

@@ -1,0 +1,122 @@
+"""Orbax checkpointing with reference-compatible naming/retention.
+
+Semantics (reference train.py:143-166, 449-465):
+  * save every ``iters_per_checkpoint`` as ``iter={i}_val-loss={v}.ckpt``;
+  * delete the previous checkpoint when the new val loss improves on it;
+  * separately keep the best-ever checkpoint.
+
+Improvements over the reference (SURVEY §5 gaps): the discriminator params
+and optimizer state ARE saved, as are BatchNorm stats and the PRNG key, so a
+resume is bit-exact.
+"""
+
+import os
+import re
+import shutil
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"iter=(\d+)_val-loss=([-\d.einf]+)\.ckpt")
+
+
+class CheckpointManager:
+    def __init__(self, output_directory: str):
+        self.output_directory = os.path.abspath(output_directory)
+        os.makedirs(self.output_directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+        self.prev_check: Optional[str] = None
+        self.prev_val_loss = float("inf")
+        self.best_val_loss = float("inf")
+        self.best_val_loss_path: Optional[str] = None
+
+    def _path(self, iteration: int, val_loss: float) -> str:
+        return os.path.join(self.output_directory,
+                            f"iter={iteration}_val-loss={round(val_loss, 6)}.ckpt")
+
+    def save(self, state, iteration: int, val_loss: float,
+             extra: Optional[dict] = None) -> str:
+        path = self._path(iteration, val_loss)
+        payload = {"state": jax.tree.map(np.asarray, state)}
+        if extra:
+            payload["extra"] = extra
+        self._ckptr.save(path, payload, force=True)
+        self._ckptr.wait_until_finished()
+
+        # Retention: drop previous ckpt if we improved on it; track best-ever.
+        if self.prev_check is not None and val_loss < self.prev_val_loss:
+            if self.prev_check != self.best_val_loss_path:
+                shutil.rmtree(self.prev_check, ignore_errors=True)
+        if val_loss < self.best_val_loss:
+            if (self.best_val_loss_path is not None
+                    and os.path.exists(self.best_val_loss_path)
+                    and self.best_val_loss_path != self.prev_check):
+                shutil.rmtree(self.best_val_loss_path, ignore_errors=True)
+            self.best_val_loss = val_loss
+            self.best_val_loss_path = path
+        self.prev_check = path
+        self.prev_val_loss = val_loss
+        return path
+
+    def restore(self, path: str, state_template):
+        """Restore into the structure of ``state_template``."""
+        payload = self._ckptr.restore(
+            os.path.abspath(path),
+            {"state": jax.tree.map(np.asarray, state_template)})
+        return jax.tree.map(
+            lambda t, v: v if not hasattr(t, "dtype") else np.asarray(v),
+            state_template, payload["state"])
+
+    @staticmethod
+    def parse_name(path: str) -> Optional[Tuple[int, float]]:
+        m = _CKPT_RE.search(os.path.basename(path))
+        if not m:
+            return None
+        return int(m.group(1)), float(m.group(2))
+
+    def latest(self) -> Optional[str]:
+        best = None
+        for name in os.listdir(self.output_directory):
+            parsed = self.parse_name(name)
+            if parsed and (best is None or parsed[0] > best[0]):
+                best = (parsed[0], os.path.join(self.output_directory, name))
+        return best[1] if best else None
+
+
+def warm_start_filter(g_params, restored_g_params, ignore_layers):
+    """Load generator weights only, dropping ``ignore_layers``
+    (reference train.py:128-140). Layer names use the reference's dotted
+    torch paths; we translate the known ones to our tree paths."""
+    torch_to_tree = {
+        "decoder.attention_rnn.weight_ih": ("decoder", "attention_rnn"),
+        "decoder.attention_layer.memory_layer.linear_layer.weight":
+            ("decoder", "memory_w"),
+        "decoder.decoder_rnn.weight_ih": ("decoder", "decoder_rnn"),
+        "decoder.linear_projection.linear_layer.weight": ("decoder", "proj_w"),
+        "decoder.gate_layer.linear_layer.weight": ("decoder", "gate_w"),
+        "embedding.weight": ("embedding",),
+    }
+    skip_paths = {torch_to_tree[l] for l in ignore_layers if l in torch_to_tree}
+
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(g_params)[0])
+
+    def keep_or_restore(path, new_leaf, restored_leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+        for skip in skip_paths:
+            if keys[: len(skip)] == skip:
+                return new_leaf
+        return restored_leaf
+
+    restored_flat = jax.tree_util.tree_flatten_with_path(restored_g_params)[0]
+    out = {}
+    for (path, new_leaf), (_, restored_leaf) in zip(
+            sorted(flat_new.items(), key=lambda kv: str(kv[0])),
+            sorted(restored_flat, key=lambda kv: str(kv[0]))):
+        out[path] = keep_or_restore(path, new_leaf, restored_leaf)
+
+    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(
+        g_params)[0]]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(g_params), leaves)

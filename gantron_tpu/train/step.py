@@ -1,0 +1,159 @@
+"""Jitted G/D/eval train steps (reference: train.py:291-440 inner loop).
+
+Each step is a single pjit-able function: forward + losses + grads + Adam
+update fused into one XLA program. The G/D alternation *schedule* stays in
+host Python (gantron_tpu.train.loop); the compute never leaves the device.
+
+Parity notes:
+  * ``real``/``fake`` Wasserstein signs default to +1/-1 (reference
+    train.py:509-510, --real flag).
+  * the reference calls clip_grad_norm_ on the discriminator BEFORE
+    backward() (train.py:326-332), making its WGAN clipping a no-op; here the
+    evident intent — clipping the D gradient at ``clipping_value`` — is
+    implemented (documented deviation).
+  * learning rates are passed in as scalars so the host-side halving schedule
+    (train.py:433-435) never triggers recompilation.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gantron_tpu.losses import gradient_penalty, tacotron2_loss
+
+
+class Batch(NamedTuple):
+    """One padded, bucketed batch (device layout mirrors reference
+    TextMelCollate output, data_utils.py:88-131)."""
+
+    text: jax.Array            # (B, T_in) int32
+    text_lengths: jax.Array    # (B,) int32
+    mels: jax.Array            # (B, n_mel, T_out) float32
+    gate: jax.Array            # (B, T_out) float32
+    speaker: jax.Array         # (B,) int32
+    emotions: jax.Array        # (B, 5) float32
+    output_lengths: jax.Array  # (B,) int32
+
+
+def _adv_loss(discriminator, d_params, mel_bct, lengths, rng, train=True):
+    rngs = {"dropout": rng}
+    if type(discriminator).__name__ == "LinearDiscriminator":
+        rngs["windows"] = jax.random.fold_in(rng, 7)
+    return discriminator.apply({"params": d_params}, mel_bct, lengths,
+                               train, method=discriminator.adversarial_loss,
+                               rngs=rngs)
+
+
+def pad_mel_to_window(mel_bct, window):
+    """Zero-pad (B, n_mel, T) so T is a multiple of the discriminator
+    window."""
+    T = mel_bct.shape[2]
+    pad = (-T) % window
+    if pad:
+        mel_bct = jnp.pad(mel_bct, ((0, 0), (0, 0), (0, pad)))
+    return mel_bct
+
+
+def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
+                     real: float = 1.0):
+    """Build the jit-ready generator/discriminator/eval step functions."""
+    fake = -real
+
+    # ---------------- generator ----------------
+    def g_step(state, batch: Batch, g_lr, attn_weight):
+        rng, k_drop, k_noise, k_disc = jax.random.split(state.rng, 4)
+
+        def loss_fn(g_params):
+            out, mutated = generator.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                batch.text, batch.text_lengths, batch.mels, batch.speaker,
+                batch.emotions, batch.output_lengths, train=True,
+                rngs={"dropout": k_drop, "noise": k_noise},
+                mutable=["batch_stats"])
+            mel_l, gate_l, attn_l = tacotron2_loss(
+                out, (batch.mels, batch.gate), batch.text_lengths,
+                batch.output_lengths)
+            taco = mel_l + gate_l
+            adv = jnp.zeros(())
+            if hp.d_freq > 0:
+                gen_mel = pad_mel_to_window(out[1], hp.discriminator_window)
+                adv = real * _adv_loss(discriminator, state.d_params, gen_mel,
+                                       batch.output_lengths, k_disc)
+            total = taco + adv + attn_weight * attn_l
+            aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
+                       adversarial_loss=adv, taco_loss=taco,
+                       generator_loss=total,
+                       batch_stats=mutated["batch_stats"],
+                       generated_mel=out[1])
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params)
+        grad_norm = optax.global_norm(grads)
+        updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
+                                           state.g_params)
+        updates = jax.tree.map(lambda u: -g_lr * u, updates)
+        g_params = optax.apply_updates(state.g_params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params,
+            g_batch_stats=aux.pop("batch_stats"), g_opt_state=g_opt_state,
+            rng=rng)
+        generated_mel = aux.pop("generated_mel")
+        aux["grad_norm"] = grad_norm
+        return new_state, aux, generated_mel
+
+    # ---------------- discriminator ----------------
+    def d_step(state, real_mel, real_lengths, gen_mel, gen_lengths, d_lr):
+        rng, k_real, k_fake, k_gp = jax.random.split(state.rng, 4)
+        W = hp.discriminator_window
+        real_p = pad_mel_to_window(real_mel, W)
+        gen_p = pad_mel_to_window(gen_mel, W)
+
+        def loss_fn(d_params):
+            real_loss = real * _adv_loss(discriminator, d_params, real_p,
+                                         real_lengths, k_real)
+            # Generated mel enters detached (it is a value, not a trace of G).
+            fake_loss = fake * _adv_loss(discriminator, d_params, gen_p,
+                                         gen_lengths, k_fake)
+            loss = (real_loss + fake_loss) / 2
+            gp = jnp.zeros(())
+            if hp.gradient_penalty_lambda > 0:
+                def disc_scores(params, x, rng_):
+                    xw = pad_mel_to_window(x, W).transpose(0, 2, 1)
+                    return discriminator.apply(
+                        {"params": params}, xw, True,
+                        rngs={"dropout": rng_})
+                gp = gradient_penalty(disc_scores, d_params, real_p, gen_p,
+                                      real_lengths, gen_lengths, k_gp)
+                loss = loss + hp.gradient_penalty_lambda * gp
+            return loss, dict(discriminator_loss=loss, real_loss=real_loss,
+                              fake_loss=fake_loss, gradient_penalty=gp)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params)
+        updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
+                                           state.d_params)
+        updates = jax.tree.map(lambda u: -d_lr * u, updates)
+        d_params = optax.apply_updates(state.d_params, updates)
+
+        new_state = state.replace(step=state.step + 1, d_params=d_params,
+                                  d_opt_state=d_opt_state, rng=rng)
+        return new_state, aux
+
+    # ---------------- validation ----------------
+    def eval_step(state, batch: Batch, rng):
+        k_drop, k_noise = jax.random.split(rng)
+        out = generator.apply(
+            {"params": state.g_params, "batch_stats": state.g_batch_stats},
+            batch.text, batch.text_lengths, batch.mels, batch.speaker,
+            batch.emotions, batch.output_lengths, train=False,
+            rngs={"dropout": k_drop, "noise": k_noise})
+        mel_l, gate_l, attn_l = tacotron2_loss(
+            out, (batch.mels, batch.gate), batch.text_lengths,
+            batch.output_lengths)
+        return dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l), out
+
+    return g_step, d_step, eval_step

@@ -17,6 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon site hook re-sets JAX_PLATFORMS=axon; the config update below wins
+# over the env var and pins tests to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
 # Numerical-parity tests compare against float32 torch oracles; make f32
 # matmuls actually run in f32 (perf paths opt into bf16 via explicit dtypes).
 jax.config.update("jax_default_matmul_precision", "float32")
