@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: full-size GANtron training steps/sec on one chip.
+
+Runs the vanilla GANtron config (use_labels=False, use_noise=True — BASELINE
+config 1) at the reference's production shape (batch 32, full 28M-param
+model) on synthetic LJSpeech-like data, timing the production G/G/D schedule
+cycle (g_freq=2, d_freq=1, reference hparams.py:95-96).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against V100_BASELINE_STEPS_PER_SEC — NVIDIA's
+tacotron2 reference trains at ~0.55 s/step (~1.8 steps/s) at batch 32 fp16 on
+a V100; the reference repo publishes no numbers (BASELINE.md), so that known
+Tacotron2 figure stands in as the 1x baseline. The north-star target is
+vs_baseline >= 3.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_BASELINE_STEPS_PER_SEC = 1.8
+
+# Production-shaped synthetic batch: LJSpeech mel lengths average ~560 frames
+# at 22.05 kHz / hop 256; text ~110 symbols.
+BATCH = 32
+T_IN = 128
+T_OUT = 640
+WARMUP_CYCLES = 2
+TIMED_CYCLES = 8  # each cycle = 2 G steps + 1 D step
+
+
+def make_batch(hp, seed=0):
+    from gantron_tpu.train.step import Batch
+
+    rng = np.random.RandomState(seed)
+    text = rng.randint(1, hp.n_symbols, (BATCH, T_IN)).astype(np.int32)
+    text_lengths = rng.randint(T_IN // 2, T_IN + 1, BATCH).astype(np.int32)
+    text_lengths[0] = T_IN
+    mels = (rng.randn(BATCH, hp.n_mel_channels, T_OUT) * 1.5 - 6).astype(
+        np.float32)
+    output_lengths = rng.randint(T_OUT // 2, T_OUT + 1, BATCH).astype(np.int32)
+    output_lengths[0] = T_OUT
+    gate = np.zeros((BATCH, T_OUT), np.float32)
+    for b in range(BATCH):
+        mels[b, :, output_lengths[b]:] = 0
+        gate[b, output_lengths[b] - 1:] = 1
+    return Batch(
+        text=jnp.asarray(text), text_lengths=jnp.asarray(text_lengths),
+        mels=jnp.asarray(mels), gate=jnp.asarray(gate),
+        speaker=jnp.zeros((BATCH,), jnp.int32),
+        emotions=jnp.zeros((BATCH, 5), jnp.float32),
+        output_lengths=jnp.asarray(output_lengths))
+
+
+def main():
+    from gantron_tpu.config import HParams
+    from gantron_tpu.train.state import create_train_state
+    from gantron_tpu.train.step import make_train_steps
+
+    hp = HParams.create("use_labels=False,use_noise=True")
+    if not hp.use_noise:
+        hp.noise_size = 0
+
+    batch = make_batch(hp)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step_fn, d_step_fn, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    # NOTE: no donation here — donated buffers defeat block_until_ready
+    # through the axon tunnel, producing bogus timings.
+    g_step = jax.jit(g_step_fn)
+    d_step = jax.jit(d_step_fn)
+
+    g_lr = jnp.float32(hp.g_learning_rate)
+    d_lr = jnp.float32(hp.d_learning_rate)
+    attn_w = jnp.float32(10.0)
+
+    def run_cycle(state):
+        state, _, gen_mel = g_step(state, batch, g_lr, attn_w)
+        state, g_metrics, gen_mel = g_step(state, batch, g_lr, attn_w)
+        state, d_metrics = d_step(state, batch.mels, batch.output_lengths,
+                                  gen_mel, batch.output_lengths, d_lr)
+        return state, g_metrics, d_metrics
+
+    for _ in range(WARMUP_CYCLES):
+        state, gm, dm = run_cycle(state)
+    # Fetching the losses forces full materialization of the step.
+    float(gm["generator_loss"]), float(dm["discriminator_loss"])
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_CYCLES):
+        state, gm, dm = run_cycle(state)
+    float(gm["generator_loss"]), float(dm["discriminator_loss"])
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    steps = TIMED_CYCLES * 3
+    steps_per_sec = steps / dt
+    print(json.dumps({
+        "metric": "LJSpeech-shape GAN train steps/sec/chip "
+                  f"(batch {BATCH}, T_out {T_OUT}, G/G/D cycle)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / V100_BASELINE_STEPS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,10 +40,13 @@ class CheckpointManager:
              extra: Optional[dict] = None) -> str:
         path = self._path(iteration, val_loss)
         payload = {"state": jax.tree.map(np.asarray, state)}
-        if extra:
-            payload["extra"] = extra
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
+        if extra:
+            import json
+
+            with open(path + ".meta.json", "w") as f:
+                json.dump(extra, f)
 
         # Retention: drop previous ckpt if we improved on it; track best-ever.
         if self.prev_check is not None and val_loss < self.prev_val_loss:

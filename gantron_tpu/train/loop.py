@@ -1,0 +1,208 @@
+"""GAN training loop (reference: train.py:211-466).
+
+The G/D alternation schedule runs in host Python (it is control flow over
+compiled steps); all math is inside the jitted steps. Schedule parity:
+
+  * ``gen_warm`` = 5 generator-only warm-up steps;
+  * discriminator-only phase until ``disc_warmp_up`` (sampling fakes from the
+    ring buffer);
+  * afterwards g_freq generator steps alternate with d_freq discriminator
+    steps, plus 100 consecutive D steps every 10k iterations
+    (reference train.py:297-299);
+  * LR halving every ``reduce_lr_steps_every`` iterations;
+  * validation + checkpoint every ``iters_per_checkpoint``.
+
+Metrics are logged one step late so the device never waits on the host.
+"""
+
+import os
+import random as pyrandom
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gantron_tpu.data.dataset import (DataLoader, SyntheticDataset,
+                                      TextMelDataset)
+from gantron_tpu.parallel import make_mesh, shard_batch, shard_state
+from gantron_tpu.train.checkpoint import CheckpointManager, warm_start_filter
+from gantron_tpu.train.state import create_train_state
+from gantron_tpu.train.step import make_train_steps
+from gantron_tpu.utils.logging import MetricLogger
+
+GEN_WARM = 5
+ITER_REP = 10000
+DISC_BURST = 100
+
+
+def prepare_dataloaders(hp, wavs_path):
+    """(reference train.py:94-111)"""
+    if wavs_path == "synthetic":
+        trainset = SyntheticDataset(hp, size=max(hp.batch_size * 8, 64))
+        valset = SyntheticDataset(hp, size=max(hp.batch_size * 2, 16),
+                                  seed=1)
+    else:
+        trainset = TextMelDataset(hp.training_files, hp, wavs_path)
+        valset = TextMelDataset(hp.validation_files, hp, wavs_path)
+    train_loader = DataLoader(trainset, hp, shuffle=True, drop_last=True)
+    val_loader = DataLoader(valset, hp, shuffle=False, drop_last=False)
+    return train_loader, val_loader
+
+
+def validate(eval_step, state, val_loader, mesh, iteration, hp, logger,
+             attn_steps):
+    """Teacher-forced validation (reference train.py:169-208)."""
+    mel_l = gate_l = attn_l = 0.0
+    n = 0
+    for batch in val_loader:
+        sharded = shard_batch(batch, mesh) if mesh else batch
+        metrics, _ = eval_step(state, sharded,
+                               jax.random.fold_in(jax.random.PRNGKey(hp.seed),
+                                                  iteration + n))
+        mel_l += float(metrics["mel_loss"])
+        gate_l += float(metrics["gate_loss"])
+        attn_l += float(metrics["attention_loss"])
+        n += 1
+    if n == 0:
+        return float("inf")
+    mel_l, gate_l, attn_l = mel_l / n, gate_l / n, attn_l / n
+    if iteration > attn_steps:
+        attn_l = 0.0
+    logger.log_validation(mel_l, gate_l, attn_l, iteration)
+    return mel_l + gate_l
+
+
+def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
+          bool, hp, wavs_path: str, logger: Optional[MetricLogger] = None,
+          real: float = 1.0, max_seconds: Optional[float] = None):
+    """Main entry (reference train.py:211-440)."""
+    os.makedirs(output_directory, exist_ok=True)
+    logger = logger or MetricLogger(output_directory)
+    mesh = make_mesh(hp.mesh_shape)
+
+    train_loader, val_loader = prepare_dataloaders(hp, wavs_path)
+
+    sample = next(iter(train_loader))
+    rng = jax.random.PRNGKey(hp.seed)
+    state, generator, discriminator, g_tx, d_tx = create_train_state(
+        hp, rng, tuple(sample))
+    g_step_fn, d_step_fn, eval_step_fn = make_train_steps(
+        hp, generator, discriminator, g_tx, d_tx, real=real)
+    g_step = jax.jit(g_step_fn, donate_argnums=(0,))
+    d_step = jax.jit(d_step_fn, donate_argnums=(0,))
+    eval_step = jax.jit(eval_step_fn)
+
+    ckpt = CheckpointManager(output_directory)
+    iteration = 0
+    g_lr, d_lr = hp.g_learning_rate, hp.d_learning_rate
+    if checkpoint_path is not None:
+        if warm_start:
+            restored = ckpt.restore(checkpoint_path, state)
+            state = state.replace(
+                g_params=warm_start_filter(state.g_params, restored.g_params,
+                                           hp.ignore_layers))
+        else:
+            state = ckpt.restore(checkpoint_path, state)
+            iteration = int(np.asarray(state.step)) + 1
+            lrs = 2 ** (iteration // int(hp.reduce_lr_steps_every)
+                        if hp.reduce_lr_steps_every > 0 else 0)
+            if hp.use_saved_learning_rate:
+                g_lr, d_lr = g_lr / lrs, d_lr / lrs
+
+    state = shard_state(state, mesh)
+
+    n_epochs = hp.epochs
+    if hp.iterations is not None and hp.iterations > 0:
+        n_epochs = int(hp.iterations / max(len(train_loader), 1)) + 1
+
+    gen_times, disc_times = 1, 0
+    generated_mel_list = []  # ring buffer of (mel, lengths), ≤ d_freq
+    pending_log = None  # (step, dict) logged one step late
+    t_start = time.time()
+    rnd = pyrandom.Random(hp.seed)
+
+    def flush_log():
+        nonlocal pending_log
+        if pending_log is not None:
+            step_i, metrics = pending_log
+            logger.log_values(step_i, **{k: float(v)
+                                         for k, v in metrics.items()})
+            pending_log = None
+
+    for epoch in range(n_epochs):
+        for batch in train_loader:
+            start = time.perf_counter()
+            sharded = shard_batch(batch, mesh)
+            do_disc = (iteration >= ITER_REP
+                       and iteration % ITER_REP < DISC_BURST)
+            d_turn = (iteration > GEN_WARM
+                      and (disc_times > 0 or iteration < hp.disc_warmp_up
+                           or do_disc)
+                      and hp.d_freq > 0 and generated_mel_list)
+
+            if d_turn:
+                idx = min(disc_times - 1, len(generated_mel_list) - 1)
+                gen_mel, gen_lengths = generated_mel_list[idx]
+                if iteration < hp.disc_warmp_up:
+                    gen_mel, gen_lengths = rnd.choice(generated_mel_list)
+                state, metrics = d_step(state, sharded.mels,
+                                        sharded.output_lengths, gen_mel,
+                                        gen_lengths, jnp.float32(d_lr))
+                flush_log()
+                metrics["discriminator_learning_rate"] = d_lr
+                metrics["discriminator_duration"] = (
+                    time.perf_counter() - start)
+                pending_log = (iteration, metrics)
+
+                disc_times += 1
+                if disc_times > hp.d_freq and iteration >= hp.disc_warmp_up:
+                    disc_times = 0
+                    gen_times = 1
+            else:
+                attn_w = 10.0 if iteration < hp.attn_steps else 0.0
+                state, metrics, gen_mel = g_step(state, sharded,
+                                                 jnp.float32(g_lr),
+                                                 jnp.float32(attn_w))
+                generated_mel_list.append((gen_mel, sharded.output_lengths))
+                if len(generated_mel_list) > max(hp.d_freq, 1):
+                    generated_mel_list.pop(0)
+                flush_log()
+                if iteration >= hp.attn_steps:
+                    metrics.pop("attention_loss", None)
+                metrics["generator_learning_rate"] = g_lr
+                metrics["generation_duration"] = time.perf_counter() - start
+                pending_log = (iteration, metrics)
+
+                gen_times += 1
+                if gen_times > hp.g_freq and hp.d_freq > 0:
+                    gen_times = 0
+                    disc_times = 1
+
+            iteration += 1
+
+            if iteration % hp.iters_per_checkpoint == 0:
+                flush_log()
+                val_loss = validate(eval_step, state, val_loader, mesh,
+                                    iteration, hp, logger, hp.attn_steps)
+                ckpt.save(jax.device_get(state), iteration, val_loss,
+                          extra={"g_lr": g_lr, "d_lr": d_lr})
+
+            if (hp.reduce_lr_steps_every > 0
+                    and iteration % int(hp.reduce_lr_steps_every) == 0):
+                g_lr /= 2
+                d_lr /= 2
+
+            stop = ((hp.iterations is not None and hp.iterations > 0
+                     and iteration >= hp.iterations)
+                    or (max_seconds and time.time() - t_start > max_seconds))
+            if stop:
+                flush_log()
+                val_loss = validate(eval_step, state, val_loader, mesh,
+                                    iteration, hp, logger, hp.attn_steps)
+                ckpt.save(jax.device_get(state), iteration, val_loss,
+                          extra={"g_lr": g_lr, "d_lr": d_lr})
+                return state, iteration
+    flush_log()
+    return state, iteration
