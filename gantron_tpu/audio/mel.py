@@ -54,3 +54,53 @@ class MelSpectrogram:
 
     def n_frames(self, num_samples: int) -> int:
         return self.stft.n_frames(num_samples)
+
+
+def mel_to_wav_griffin_lim(mel, mel_fn: "MelSpectrogram", n_iters=30,
+                           key=None):
+    """Vocoder-free synthesis: invert the log-mel via the filterbank
+    pseudo-inverse, then Griffin-Lim phase recovery (the reference ships
+    griffin_lim as the WaveGlow-free fallback, audio_processing.py:59-75).
+
+    mel: (B, n_mel, T) log-compressed mel. Returns (B, T_samples) float32.
+    """
+    import numpy as np
+
+    from gantron_tpu.audio.stft import griffin_lim
+
+    mag_mel = dynamic_range_decompression(mel)
+    pinv = jnp.asarray(np.linalg.pinv(np.asarray(mel_fn.mel_basis)))
+    magnitudes = jnp.maximum(jnp.einsum("fm,bmt->bft", pinv, mag_mel), 0.0)
+    return griffin_lim(magnitudes, mel_fn.stft, n_iters=n_iters, key=key)
+
+
+def power_to_db(S, amin=1e-10, top_db=80.0):
+    """librosa ``power_to_db(..., ref=np.max)``: 10*log10(S/max), floored at
+    max - top_db. Used by the classifier featurizer (reference
+    classifier.py:220-226)."""
+    ref = jnp.maximum(jnp.max(S), amin)
+    log_spec = 10.0 * (jnp.log10(jnp.maximum(S, amin)) - jnp.log10(ref))
+    return jnp.maximum(log_spec, -top_db)
+
+
+class PowerMelDB:
+    """Classifier-style mel features: power spectrogram -> slaney mel ->
+    dB re max, range [-80, 0] (equivalent of librosa.feature.melspectrogram +
+    power_to_db as used in reference classifier.py:220-226; fmax defaults to
+    sr/2 there, unlike the synthesis mel's 8 kHz)."""
+
+    def __init__(self, sampling_rate=22050, n_fft=1024, hop_length=256,
+                 n_mel_channels=80):
+        self.stft = STFT(n_fft, hop_length, n_fft)
+        basis = mel_filterbank(sampling_rate, n_fft, n_mel_channels,
+                               0.0, sampling_rate / 2)
+        self.mel_basis = jnp.asarray(basis)
+
+    def __call__(self, y):
+        """(B, T) -> (B, n_mel, n_frames) in [-80, 0] dB."""
+        mag = self.stft.magnitude(y)
+        power = mag**2
+        mel = jnp.einsum("mf,bft->bmt", self.mel_basis, power,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return power_to_db(mel)

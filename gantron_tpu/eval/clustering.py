@@ -1,0 +1,98 @@
+"""K-means / t-SNE cluster analysis of generated mels
+(reference: clustering.py, check_kmeans.py).
+
+``load_mels`` flattens fixed-length mel prefixes normalized by the global
+max; ``check_clusterization`` brute-forces the cluster->class permutation to
+score how separable the generation groups are (check_kmeans-style sanity
+metric); ``run_clustering`` returns kmeans labels + 2-D t-SNE embedding for
+plotting.
+"""
+
+import itertools
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def load_mels(base_path, n_mel_channels=80, from_audio=False, mel_fn=None):
+    """Load .npy mels (or extract from .wav when ``from_audio``); returns
+    (flattened matrix (N, n_mel*min_len), max_val, classes)."""
+    full_mels, classes = [], []
+    min_len = float("inf")
+    max_val = 0.0
+    for path in sorted(os.listdir(base_path)):
+        full = os.path.join(base_path, path)
+        if from_audio and path.endswith(".wav"):
+            from gantron_tpu.data.wav import load_wav
+
+            wav = load_wav(full)
+            mel = np.asarray(mel_fn(wav[None]))[0]
+        elif path.endswith(".npy"):
+            mel = np.load(full, allow_pickle=True)
+            if "-" in path:
+                classes.append(int(path.split("-")[0]))
+        else:
+            continue
+        if mel.ndim == 3:
+            mel = mel[0]
+        min_len = min(min_len, mel.shape[1])
+        max_val = max(max_val, abs(float(mel.min())), abs(float(mel.max())))
+        full_mels.append(mel)
+
+    if not full_mels:
+        return np.zeros((0, 0)), 0.0, []
+    min_len = int(min_len)
+    mels = np.stack([m[:, :min_len].flatten() / max_val for m in full_mels])
+    if classes:
+        assert len(classes) == len(full_mels)
+    return mels, max_val, classes
+
+
+def check_clusterization(mels, classes, classes_items=20, n_init=30,
+                         seed=0):
+    """Fit k-means with k = #unique classes and search all label
+    permutations for the best accuracy (reference check_kmeans logic inside
+    clustering.py:67-88)."""
+    from sklearn.cluster import KMeans
+
+    unique = np.unique(np.asarray(classes))
+    kmeans = KMeans(n_clusters=len(unique), random_state=seed,
+                    n_init=n_init).fit(mels)
+    y = kmeans.labels_
+    best_acc, best_classes = 0.0, None
+    for perm in itertools.permutations(unique):
+        new_classes = [c for c in perm for _ in range(classes_items)]
+        acc = float(np.sum(y == np.asarray(new_classes[: len(y)])) / len(y))
+        if acc > best_acc:
+            best_acc, best_classes = acc, perm
+    return best_acc, best_classes, kmeans
+
+
+def run_clustering(mels, n_clusters=6, n_init=20, seed=0, with_tsne=True):
+    """KMeans labels + centroids (+ t-SNE 2-D embedding)."""
+    from sklearn.cluster import KMeans
+
+    kmeans = KMeans(n_clusters=n_clusters, random_state=seed,
+                    n_init=n_init).fit(mels)
+    embedded = None
+    if with_tsne and len(mels) > 5:
+        from sklearn.manifold import TSNE
+
+        embedded = TSNE(perplexity=min(30, max(5, len(mels) // 4))
+                        ).fit_transform(mels)
+    return kmeans.labels_, kmeans.cluster_centers_, embedded
+
+
+def save_tsne_plot(embedded, labels, save_path, n_clusters=6):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    scatter = ax.scatter(embedded[:, 0], embedded[:, 1], c=labels,
+                         cmap="tab10", s=12)
+    fig.colorbar(scatter, ax=ax)
+    fig.savefig(save_path, dpi=300)
+    plt.close(fig)

@@ -1,0 +1,128 @@
+"""Forced-style/emotion sample generation (reference: inference_samples.py).
+
+``force_style_emotions`` generates ``n_groups`` groups of samples where the
+emotion vector and/or the noise style is held fixed per group, saving one
+``.npy`` mel per sample and counting decoder-cap hits
+(reference inference_samples.py:42-126).
+
+TPU-first deviation: the reference loops one sample at a time; here each
+group's samples run as ONE batched inference call (per-sample noise drawn in
+the batch), which is dramatically faster on the MXU with identical outputs
+per sample.
+"""
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+PREDEFINED_EMOTIONS = np.array([
+    # [Neutral, Angry, Happy, Sad, Fearful]
+    [0.6, 0, 0, 0, 0],
+    [0, 0.7, 0, 0, 0],
+    [0, 0, 0.5, 0, 0],
+    [0, 0, 0, 0.8, 0],
+    [0, 0, 0, 0, 0.75],
+], np.float32)
+
+INT_EMOTIONS = np.array([
+    [1, 0, 0, 0, 0], [0, 1, 0, 0, 0], [0, 0, 1, 0, 0],
+    [0, 0, 0, 1, 0], [0, 0, 0, 0, 1], [0, 0, 0, 0, 0],
+], np.float32)
+
+
+def group_emotions(n_groups, int_emotions, predefined, key):
+    """Per-group emotion vectors (reference inference_samples.py:70-93)."""
+    if int_emotions:
+        if n_groups > 6:
+            raise ValueError("only 6 integer emotion combinations exist")
+        return INT_EMOTIONS[:n_groups].copy()
+    if predefined:
+        extra = jax.random.uniform(key, (max(n_groups - 5, 0), 5))
+        return np.concatenate([PREDEFINED_EMOTIONS[:min(n_groups, 5)],
+                               np.asarray(extra)], axis=0)[:n_groups]
+    return np.asarray(jax.random.uniform(key, (n_groups, 5)))
+
+
+def force_style_emotions(model, variables, input_sequence, output_path,
+                         speaker=None, force_emotions=True, force_style=True,
+                         style_shape=None, n_groups=6, n_samples_styles=20,
+                         simple_name=False, int_emotions=False,
+                         predefined=False, encoder_input=False,
+                         max_decoder_steps=500, key=None):
+    """Generate and save grouped samples; returns the number of samples that
+    hit the decoder cap (the 'generation error' count)."""
+    os.makedirs(output_path, exist_ok=True)
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k_emo, k_style, k_run = jax.random.split(key, 3)
+
+    T_in = input_sequence.shape[1]
+    noise_size = style_shape[1] if style_shape else 0
+
+    emotions = (group_emotions(n_groups, int_emotions, predefined, k_emo)
+                if force_emotions else None)
+    styles = (np.asarray(jax.random.uniform(k_style,
+                                            (n_groups, 1, noise_size)))
+              if force_style else None)
+
+    B = n_samples_styles
+    text_batch = jnp.broadcast_to(input_sequence, (B, T_in))
+    speaker_batch = (jnp.broadcast_to(speaker, (B,))
+                     if speaker is not None else None)
+
+    max_decoder_steps_reached = 0
+    for g in range(n_groups):
+        emotion = (jnp.broadcast_to(jnp.asarray(emotions[g]), (B, 5))
+                   if emotions is not None else None)
+        style = (jnp.broadcast_to(jnp.asarray(styles[g][None]),
+                                  (B, 1, noise_size))
+                 if styles is not None else None)
+        out = model.apply(
+            variables, text_batch, style, emotion, speaker_batch,
+            max_decoder_steps, method=model.infer,
+            rngs={"dropout": jax.random.fold_in(k_run, 2 * g),
+                  "noise": jax.random.fold_in(k_run, 2 * g + 1)})
+        mel_post = np.asarray(out[1])  # (B, n_mel, S)
+        lengths = np.asarray(out[4])
+
+        for i in range(B):
+            L = int(lengths[i])
+            if L >= max_decoder_steps:
+                max_decoder_steps_reached += 1
+            if simple_name:
+                name = f"{g}-{i}"
+                if emotions is not None:
+                    name += "-" + ",".join(
+                        str(round(float(v), 2)) for v in emotions[g])
+            else:
+                name = ""
+                if force_emotions:
+                    name += f"emotion-{g}-"
+                if force_style:
+                    name += f"style-{g}-"
+                name += f"{i}"
+            np.save(os.path.join(output_path, f"{name}.npy"),
+                    mel_post[i, :, :L])
+
+    return max_decoder_steps_reached
+
+
+def random_style(model, variables, input_sequence, noise_size, n_samples,
+                 use_labels=False, speaker=None, key=None,
+                 max_decoder_steps=500):
+    """Free sampling with random style/emotions per sample
+    (reference inference_samples.py:129-143). Returns (mels, lengths)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    B = n_samples
+    T_in = input_sequence.shape[1]
+    text_batch = jnp.broadcast_to(input_sequence, (B, T_in))
+    speaker_batch = (jnp.broadcast_to(speaker, (B,))
+                     if speaker is not None else None)
+    out = model.apply(
+        variables, text_batch, None, None, speaker_batch, max_decoder_steps,
+        method=model.infer,
+        rngs={"dropout": jax.random.fold_in(key, 0),
+              "noise": jax.random.fold_in(key, 1)})
+    return np.asarray(out[1]), np.asarray(out[4])
