@@ -241,6 +241,59 @@ class ClassifierTrainer:
         return {prefix + "loss": float(np.mean(losses)),
                 prefix + "acc": float(np.mean(accs))}
 
+    def save(self, path):
+        """Persist params + BN stats + hparams (orbax directory)."""
+        import dataclasses
+
+        import orbax.checkpoint as ocp
+
+        payload = {
+            "params": jax.tree.map(np.asarray, self.variables["params"]),
+            "batch_stats": jax.tree.map(
+                np.asarray, self.variables.get("batch_stats", {})),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), payload, force=True)
+        ckptr.wait_until_finished()
+        import json
+
+        hparams = {f.name: getattr(self.hp, f.name)
+                   for f in dataclasses.fields(self.hp)
+                   if not isinstance(getattr(self.hp, f.name), list)}
+        with open(os.path.abspath(path) + ".hparams.json", "w") as f:
+            json.dump(hparams, f)
+
+    @classmethod
+    def load(cls, path, hp=None):
+        import orbax.checkpoint as ocp
+
+        from gantron_tpu.config import ClassifierHParams
+
+        payload = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        if hp is None:
+            import json
+
+            hp = ClassifierHParams()
+            meta_path = os.path.abspath(path) + ".hparams.json"
+            if os.path.exists(meta_path):
+                for k, v in json.load(open(meta_path)).items():
+                    hp.add_param(k, v)
+        trainer = cls(hp)
+        trainer.variables = {"params": payload["params"],
+                             "batch_stats": payload.get("batch_stats", {})}
+        trainer._init_steps_only()
+        return trainer
+
+    def _init_steps_only(self):
+        """Compile steps for an already-initialized model (post-restore)."""
+        if self._jit_eval is None and self.variables is not None:
+            hpn = self.hp
+            sample = np.zeros((1, hpn.n_mel_channels, hpn.n_frames),
+                              np.float32)
+            variables = self.variables
+            self._init(sample)
+            self.variables = variables
+
     def predict_probs(self, mels, lengths):
         """Eval-mode probabilities on cropped windows."""
         hp = self.hp
