@@ -27,9 +27,14 @@ class MelSpectrogram:
 
     def __init__(self, filter_length=1024, hop_length=256, win_length=1024,
                  n_mel_channels=80, sampling_rate=22050, mel_fmin=0.0,
-                 mel_fmax=8000.0):
+                 mel_fmax=8000.0, backend="xla"):
+        """``backend``: 'xla' (einsum pipeline) or 'pallas' (fused TPU
+        kernel, ~10% faster; interpret-mode off TPU)."""
         self.n_mel_channels = n_mel_channels
         self.sampling_rate = sampling_rate
+        self.backend = backend
+        self._cfg = (filter_length, hop_length, win_length, n_mel_channels,
+                     sampling_rate, mel_fmin, mel_fmax)
         self.stft = STFT(filter_length, hop_length, win_length)
         basis = mel_filterbank(sampling_rate, filter_length, n_mel_channels,
                                mel_fmin, mel_fmax)
@@ -46,6 +51,10 @@ class MelSpectrogram:
 
     def mel_spectrogram(self, y):
         """(B, T) float in [-1, 1] -> (B, n_mel_channels, n_frames)."""
+        if self.backend == "pallas":
+            from gantron_tpu.ops.pallas_mel import pallas_mel_spectrogram
+
+            return pallas_mel_spectrogram(y, *self._cfg)
         magnitudes = self.stft.magnitude(y)
         mel = jnp.einsum("mf,bft->bmt", self.mel_basis, magnitudes,
                          preferred_element_type=jnp.float32,
