@@ -1,0 +1,42 @@
+"""Multi-host entry (replaces reference multiproc.py + distributed.py).
+
+The reference spawns one process per GPU and wires NCCL through TCP
+(multiproc.py:6-23, distributed.py:126-173). On TPU pods, JAX is
+single-controller per host: run the SAME ``train.py`` command on every host
+after calling ``initialize_multihost()``; the mesh in
+``gantron_tpu.parallel.mesh`` then spans all chips of all hosts and XLA
+routes gradient reductions over ICI (intra-slice) / DCN (inter-slice).
+
+No gradient hooks, no bucketing, no launcher: the all-reduce is implicit in
+the jitted train step once the batch is sharded over the ``data`` axis.
+"""
+
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Initialize JAX distributed. On TPU pods with default env vars this is
+    zero-config; the explicit args cover manual setups (mirrors the
+    reference's dist_url/world_size/rank trio, hparams.py:21-22).
+
+    Returns the process index (0 = chief, like the reference's rank 0).
+    """
+    if jax.process_count() == 1 and (coordinator_address or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    elif jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass  # single-process run: nothing to initialize
+    return jax.process_index()
+
+
+def is_chief() -> bool:
+    """True on the process that should log/checkpoint (reference rank==0)."""
+    return jax.process_index() == 0
