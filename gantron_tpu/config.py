@@ -148,6 +148,10 @@ class HParams:
     mel_buckets: List[int] = field(default_factory=lambda: [240, 480, 720, 900])
     mesh_shape: Optional[List[int]] = None  # default: 1-D mesh over all chips
     compute_dtype: str = "float32"  # "bfloat16" when fp16_run is set
+    # Decoder/encoder lax.scan unroll factor: 8 is ~36% faster per train step
+    # on v5e (fewer loop iterations, cross-step fusion) at the cost of longer
+    # compiles. Tests use 1-2 for fast compilation.
+    scan_unroll: int = 8
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -65,7 +65,8 @@ class Encoder(nn.Module):
                         lambda k: lstm_params_init(k, hp.encoder_embedding_dim, H))
         bw = self.param("lstm_bw",
                         lambda k: lstm_params_init(k, hp.encoder_embedding_dim, H))
-        return masked_bilstm(LSTMParams(*fw), LSTMParams(*bw), x, input_lengths)
+        return masked_bilstm(LSTMParams(*fw), LSTMParams(*bw), x, input_lengths,
+                             unroll=min(4, getattr(hp, 'scan_unroll', 1)))
 
 
 class Postnet(nn.Module):
@@ -230,7 +231,8 @@ class Decoder(nn.Module):
             return carry, (dec_h, context, attn_w)
 
         _, (dec_hs, contexts, attn_ws) = jax.lax.scan(
-            step, self._init_state(memory), (attn_in_proj, keys))
+            step, self._init_state(memory), (attn_in_proj, keys),
+            unroll=getattr(self.hp, "scan_unroll", 1))
 
         # Output projections hoisted: (T_out, B, R + D) in two big matmuls.
         hidden_ctx = jnp.concatenate([dec_hs, contexts], axis=-1)
@@ -280,7 +282,8 @@ class Decoder(nn.Module):
                     (mel_t, gate_t, attn_w))
 
         (_, _, _, lengths, _), (mels, gates, attn_ws) = jax.lax.scan(
-            step, (state0, prev0, finished0, length0, jnp.int32(0)), keys)
+            step, (state0, prev0, finished0, length0, jnp.int32(0)), keys,
+            unroll=getattr(self.hp, "scan_unroll", 1))
 
         return (mels.transpose(1, 2, 0), gates.T, attn_ws.transpose(1, 0, 2),
                 lengths)

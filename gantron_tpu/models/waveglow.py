@@ -95,17 +95,19 @@ class WaveGlow:
     def __init__(self, config: WaveGlowConfig, params):
         self.cfg = config
         self.params = params
-        self._infer = jax.jit(self._infer_impl, static_argnums=(2,))
+        # Params are passed as a jit ARGUMENT (not closed over): closure
+        # constants would be inlined into the HLO as literals (hundreds of
+        # MB for WaveGlow), bloating compile payloads.
+        self._infer = jax.jit(self._infer_impl)
 
     def infer(self, mel, sigma=0.666, key=None):
         """mel: (B, n_mel, T) log-mel -> audio (B, T*hop)."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        return self._infer(mel, key, float(sigma))
+        return self._infer(self.params, mel, key, jnp.float32(sigma))
 
-    def _infer_impl(self, mel, key, sigma):
+    def _infer_impl(self, p, mel, key, sigma):
         cfg = self.cfg
-        p = self.params
         B = mel.shape[0]
 
         spect = _conv_transpose1d(mel.transpose(0, 2, 1), p["upsample_w"],

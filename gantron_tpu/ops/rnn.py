@@ -58,7 +58,7 @@ def lstm_cell_precomputed(params: LSTMParams, x_proj, h, c):
     return h_new, c_new
 
 
-def lstm_scan(params: LSTMParams, xs, lengths=None):
+def lstm_scan(params: LSTMParams, xs, lengths=None, unroll=1):
     """Unidirectional masked scan.
 
     Args:
@@ -91,7 +91,8 @@ def lstm_scan(params: LSTMParams, xs, lengths=None):
 
     ts = jnp.arange(T)
     (_, _), ys = jax.lax.scan(step, (h0, c0),
-                              (x_proj.transpose(1, 0, 2), ts))
+                              (x_proj.transpose(1, 0, 2), ts),
+                              unroll=unroll)
     return ys.transpose(1, 0, 2)
 
 
@@ -105,14 +106,15 @@ def _reverse_valid(xs, lengths):
     return jnp.where((t < lengths[:, None])[..., None], out, 0.0)
 
 
-def masked_bilstm(params_fw: LSTMParams, params_bw: LSTMParams, xs, lengths):
+def masked_bilstm(params_fw: LSTMParams, params_bw: LSTMParams, xs, lengths,
+                  unroll=1):
     """Bidirectional LSTM equivalent to torch's packed BiLSTM.
 
     Returns (B, T, 2H): forward and backward outputs concatenated, zero beyond
     each sequence's length.
     """
-    fw = lstm_scan(params_fw, xs, lengths)
+    fw = lstm_scan(params_fw, xs, lengths, unroll=unroll)
     xs_rev = _reverse_valid(xs, lengths)
-    bw_rev = lstm_scan(params_bw, xs_rev, lengths)
+    bw_rev = lstm_scan(params_bw, xs_rev, lengths, unroll=unroll)
     bw = _reverse_valid(bw_rev, lengths)
     return jnp.concatenate([fw, bw], axis=-1)

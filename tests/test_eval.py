@@ -83,7 +83,8 @@ def _tiny_generator():
         prenet_dim=16, attention_dim=24, attention_location_n_filters=4,
         attention_location_kernel_size=7, postnet_embedding_dim=32,
         postnet_n_convolutions=3, noise_size=8, discriminator_dim=32,
-        max_decoder_steps=24, use_noise=True, use_labels=False))
+        max_decoder_steps=24, use_noise=True, use_labels=False,
+        scan_unroll=2))
     model = Tacotron2(hp)
     text = jnp.ones((1, 6), jnp.int32)
     mels = jnp.zeros((1, 80, 20))

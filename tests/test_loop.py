@@ -20,6 +20,7 @@ def tiny_hp(**over):
         attention_location_kernel_size=7, postnet_embedding_dim=32,
         postnet_n_convolutions=3, noise_size=8, discriminator_dim=32,
         max_decoder_steps=40, use_noise=True, use_labels=False,
+        scan_unroll=2,
         batch_size=8, iterations=12, iters_per_checkpoint=12,
         disc_warmp_up=9, attn_steps=5,
         text_buckets=[24], mel_buckets=[80],

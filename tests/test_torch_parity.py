@@ -31,7 +31,8 @@ def tiny_hp():
         prenet_dim=16, attention_dim=20, attention_location_n_filters=4,
         attention_location_kernel_size=7, postnet_embedding_dim=24,
         postnet_n_convolutions=3, n_mel_channels=12,
-        use_noise=False, use_labels=False, noise_size=0))
+        use_noise=False, use_labels=False, noise_size=0,
+        scan_unroll=2))
     return hp
 
 
