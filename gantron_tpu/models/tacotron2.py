@@ -341,14 +341,17 @@ class Tacotron2(nn.Module):
         (reference model.py:184-191, 649-651) when encoder_inputs=True."""
         hp = self.hp
         B, T = embedded.shape[:2]
+        dtype = embedded.dtype
         parts = [embedded]
         if hp.encoder_inputs and self.use_labels and emotions is not None:
-            parts.append(jnp.broadcast_to(emotions[:, None, :],
+            parts.append(jnp.broadcast_to(emotions[:, None, :].astype(dtype),
                                           (B, T, N_EMOTIONS)))
         if hp.encoder_inputs and self.noise_size > 0:
             if style is None:
-                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size))
-            parts.append(jnp.broadcast_to(style, (B, T, self.noise_size)))
+                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size),
+                                           dtype=dtype)
+            parts.append(jnp.broadcast_to(style.astype(dtype),
+                                          (B, T, self.noise_size)))
         return jnp.concatenate(parts, -1) if len(parts) > 1 else embedded
 
     def _memory_side_concat(self, encoder_outputs, speaker_ids, emotions,
@@ -357,18 +360,21 @@ class Tacotron2(nn.Module):
         (reference model.py:273-279, 655-663)."""
         hp = self.hp
         B, T = encoder_outputs.shape[:2]
+        dtype = encoder_outputs.dtype
         parts = [encoder_outputs]
         if hp.vesus_path:
             spk = jnp.take(self.speaker_embedding, speaker_ids, axis=0)
-            parts.append(jnp.broadcast_to(spk[:, None, :],
+            parts.append(jnp.broadcast_to(spk[:, None, :].astype(dtype),
                                           (B, T, hp.speakers_embedding)))
             if self.use_labels and not hp.encoder_inputs and emotions is not None:
-                parts.append(jnp.broadcast_to(emotions[:, None, :],
+                parts.append(jnp.broadcast_to(emotions[:, None, :].astype(dtype),
                                               (B, T, N_EMOTIONS)))
         if not hp.encoder_inputs and self.noise_size > 0:
             if style is None:
-                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size))
-            parts.append(jnp.broadcast_to(style, (B, T, self.noise_size)))
+                style = jax.random.uniform(noise_rng, (B, 1, self.noise_size),
+                                           dtype=dtype)
+            parts.append(jnp.broadcast_to(style.astype(dtype),
+                                          (B, T, self.noise_size)))
         return jnp.concatenate(parts, -1) if len(parts) > 1 else encoder_outputs
 
     # -- training forward ---------------------------------------------------

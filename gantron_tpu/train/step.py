@@ -60,18 +60,39 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
     fake = -real
+    # fp16_run maps to bfloat16 compute on TPU (checked here, not only in
+    # __post_init__, so late `--hparams fp16_run=True` overrides work too).
+    bf16 = (getattr(hp, "compute_dtype", "float32") == "bfloat16"
+            or getattr(hp, "fp16_run", False))
+
+    def _cast_in(tree):
+        """Mixed precision (the TPU analogue of the reference's apex AMP O2,
+        train.py:245-248): bf16 compute params, f32 master params/optimizer;
+        no loss scaling needed — bf16 shares float32's exponent range."""
+        if not bf16:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
+            tree)
 
     # ---------------- generator ----------------
     def g_step(state, batch: Batch, g_lr, attn_weight):
         rng, k_drop, k_noise, k_disc = jax.random.split(state.rng, 4)
 
         def loss_fn(g_params):
+            mels_in = (batch.mels.astype(jnp.bfloat16) if bf16
+                       else batch.mels)
             out, mutated = generator.apply(
-                {"params": g_params, "batch_stats": state.g_batch_stats},
-                batch.text, batch.text_lengths, batch.mels, batch.speaker,
+                {"params": _cast_in(g_params),
+                 "batch_stats": state.g_batch_stats},
+                batch.text, batch.text_lengths, mels_in, batch.speaker,
                 batch.emotions, batch.output_lengths, train=True,
                 rngs={"dropout": k_drop, "noise": k_noise},
                 mutable=["batch_stats"])
+            out = [o.astype(jnp.float32) for o in out]
+            new_bs = jax.tree.map(lambda x: x.astype(jnp.float32),
+                                  mutated["batch_stats"])
             mel_l, gate_l, attn_l = tacotron2_loss(
                 out, (batch.mels, batch.gate), batch.text_lengths,
                 batch.output_lengths)
@@ -79,13 +100,16 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             adv = jnp.zeros(())
             if hp.d_freq > 0:
                 gen_mel = pad_mel_to_window(out[1], hp.discriminator_window)
-                adv = real * _adv_loss(discriminator, state.d_params, gen_mel,
+                adv = real * _adv_loss(discriminator,
+                                       _cast_in(state.d_params),
+                                       _cast_in(gen_mel),
                                        batch.output_lengths, k_disc)
+                adv = adv.astype(jnp.float32)
             total = taco + adv + attn_weight * attn_l
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,
-                       batch_stats=mutated["batch_stats"],
+                       batch_stats=new_bs,
                        generated_mel=out[1])
             return total, aux
 
@@ -113,11 +137,14 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         gen_p = pad_mel_to_window(gen_mel, W)
 
         def loss_fn(d_params):
-            real_loss = real * _adv_loss(discriminator, d_params, real_p,
+            dp = _cast_in(d_params)
+            real_loss = real * _adv_loss(discriminator, dp, _cast_in(real_p),
                                          real_lengths, k_real)
             # Generated mel enters detached (it is a value, not a trace of G).
-            fake_loss = fake * _adv_loss(discriminator, d_params, gen_p,
+            fake_loss = fake * _adv_loss(discriminator, dp, _cast_in(gen_p),
                                          gen_lengths, k_fake)
+            real_loss = real_loss.astype(jnp.float32)
+            fake_loss = fake_loss.astype(jnp.float32)
             loss = (real_loss + fake_loss) / 2
             gp = jnp.zeros(())
             if hp.gradient_penalty_lambda > 0:

@@ -143,3 +143,19 @@ def test_data_parallel_8dev():
     a = np.asarray(state2.g_params["embedding"])
     b = np.asarray(state2_single.g_params["embedding"])
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_bf16_mixed_precision_step():
+    """fp16_run maps to bf16 compute with f32 master params."""
+    hp = tiny_hp(fp16_run=True)
+    batch = synth_batch(hp)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step, d_step, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    s2, m, gm = jax.jit(g_step)(state, batch, jnp.float32(1e-3),
+                                jnp.float32(10.0))
+    assert np.isfinite(float(m["generator_loss"]))
+    assert jax.tree.leaves(s2.g_params)[0].dtype == jnp.float32
+    s3, dm = jax.jit(d_step)(s2, batch.mels, batch.output_lengths, gm,
+                             batch.output_lengths, jnp.float32(7e-4))
+    assert np.isfinite(float(dm["discriminator_loss"]))
