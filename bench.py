@@ -58,6 +58,9 @@ def make_batch(hp, seed=0):
 
 
 def main():
+    from gantron_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from gantron_tpu.config import HParams
     from gantron_tpu.train.state import create_train_state
     from gantron_tpu.train.step import make_train_steps

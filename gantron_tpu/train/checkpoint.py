@@ -48,14 +48,14 @@ class CheckpointManager:
             with open(path + ".meta.json", "w") as f:
                 json.dump(extra, f)
 
-        # Retention: drop previous ckpt if we improved on it; track best-ever.
+        # Retention (reference train.py:449-465): drop the previous ckpt if
+        # the new val loss improves on it; separately track the best-ever
+        # (deleting the superseded best).
         if self.prev_check is not None and val_loss < self.prev_val_loss:
-            if self.prev_check != self.best_val_loss_path:
-                shutil.rmtree(self.prev_check, ignore_errors=True)
+            shutil.rmtree(self.prev_check, ignore_errors=True)
         if val_loss < self.best_val_loss:
             if (self.best_val_loss_path is not None
-                    and os.path.exists(self.best_val_loss_path)
-                    and self.best_val_loss_path != self.prev_check):
+                    and os.path.exists(self.best_val_loss_path)):
                 shutil.rmtree(self.best_val_loss_path, ignore_errors=True)
             self.best_val_loss = val_loss
             self.best_val_loss_path = path
@@ -88,38 +88,48 @@ class CheckpointManager:
         return best[1] if best else None
 
 
+# Reference dotted layer names -> our tree path prefixes (ignore_layers are
+# the dataset-dependent layers whose shapes change across conditioning
+# configs; reference hparams.py:25-28).
+_TORCH_TO_TREE = {
+    "decoder.attention_rnn.weight_ih": ("decoder", "attention_rnn"),
+    "decoder.attention_layer.memory_layer.linear_layer.weight":
+        ("decoder", "memory_w"),
+    "decoder.decoder_rnn.weight_ih": ("decoder", "decoder_rnn"),
+    "decoder.linear_projection.linear_layer.weight": ("decoder", "proj_w"),
+    "decoder.gate_layer.linear_layer.weight": ("decoder", "gate_w"),
+    "embedding.weight": ("embedding",),
+}
+
+
 def warm_start_filter(g_params, restored_g_params, ignore_layers):
-    """Load generator weights only, dropping ``ignore_layers``
-    (reference train.py:128-140). Layer names use the reference's dotted
-    torch paths; we translate the known ones to our tree paths."""
-    torch_to_tree = {
-        "decoder.attention_rnn.weight_ih": ("decoder", "attention_rnn"),
-        "decoder.attention_layer.memory_layer.linear_layer.weight":
-            ("decoder", "memory_w"),
-        "decoder.decoder_rnn.weight_ih": ("decoder", "decoder_rnn"),
-        "decoder.linear_projection.linear_layer.weight": ("decoder", "proj_w"),
-        "decoder.gate_layer.linear_layer.weight": ("decoder", "gate_w"),
-        "embedding.weight": ("embedding",),
-    }
-    skip_paths = {torch_to_tree[l] for l in ignore_layers if l in torch_to_tree}
+    """Generator-weights-only warm start (reference train.py:128-140).
 
-    flat_new = dict(jax.tree_util.tree_flatten_with_path(g_params)[0])
+    Path-wise merge: for each parameter in the NEW model, take the restored
+    value when the path exists in the checkpoint, shapes match, and the path
+    is not under an ignored prefix -- otherwise keep the fresh init. Works
+    across configs whose conditioning dims differ (the whole point of
+    ``ignore_layers``).
+    """
+    skip_paths = {_TORCH_TO_TREE[l] for l in ignore_layers
+                  if l in _TORCH_TO_TREE}
 
-    def keep_or_restore(path, new_leaf, restored_leaf):
-        keys = tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+    def path_keys(path):
+        return tuple(getattr(p, "key", getattr(p, "idx", None))
+                     for p in path)
+
+    restored_by_path = {
+        path_keys(path): leaf for path, leaf in
+        jax.tree_util.tree_flatten_with_path(restored_g_params)[0]}
+
+    def merge(path, new_leaf):
+        keys = path_keys(path)
         for skip in skip_paths:
             if keys[: len(skip)] == skip:
                 return new_leaf
-        return restored_leaf
+        restored = restored_by_path.get(keys)
+        if restored is None or np.shape(restored) != np.shape(new_leaf):
+            return new_leaf
+        return restored
 
-    restored_flat = jax.tree_util.tree_flatten_with_path(restored_g_params)[0]
-    out = {}
-    for (path, new_leaf), (_, restored_leaf) in zip(
-            sorted(flat_new.items(), key=lambda kv: str(kv[0])),
-            sorted(restored_flat, key=lambda kv: str(kv[0]))):
-        out[path] = keep_or_restore(path, new_leaf, restored_leaf)
-
-    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(
-        g_params)[0]]
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(g_params), leaves)
+    return jax.tree_util.tree_map_with_path(merge, g_params)

@@ -52,26 +52,61 @@ def prepare_dataloaders(hp, wavs_path):
 
 
 def validate(eval_step, state, val_loader, mesh, iteration, hp, logger,
-             attn_steps):
-    """Teacher-forced validation (reference train.py:169-208)."""
+             attn_steps, media_dir=None):
+    """Teacher-forced validation (reference train.py:169-208). When
+    ``media_dir`` is set, renders alignment/mel/gate plots for 3 random
+    samples of the last batch (reference logger.py:17-61)."""
     mel_l = gate_l = attn_l = 0.0
     n = 0
+    last = None
     for batch in val_loader:
         sharded = shard_batch(batch, mesh) if mesh else batch
-        metrics, _ = eval_step(state, sharded,
-                               jax.random.fold_in(jax.random.PRNGKey(hp.seed),
-                                                  iteration + n))
+        metrics, out = eval_step(state, sharded,
+                                 jax.random.fold_in(
+                                     jax.random.PRNGKey(hp.seed),
+                                     iteration + n))
         mel_l += float(metrics["mel_loss"])
         gate_l += float(metrics["gate_loss"])
         attn_l += float(metrics["attention_loss"])
+        last = (batch, out)
         n += 1
     if n == 0:
         return float("inf")
     mel_l, gate_l, attn_l = mel_l / n, gate_l / n, attn_l / n
     if iteration > attn_steps:
         attn_l = 0.0
+
+    if media_dir and last is not None:
+        _save_validation_media(last, iteration, media_dir, hp)
     logger.log_validation(mel_l, gate_l, attn_l, iteration)
     return mel_l + gate_l
+
+
+def _save_validation_media(last, iteration, media_dir, hp):
+    import numpy as np  # noqa: F811
+
+    from gantron_tpu.utils.plotting import (plot_alignment,
+                                            plot_gate_outputs,
+                                            plot_spectrogram)
+
+    batch, out = last
+    mel_out, mel_post, gates, aligns = (np.asarray(x) for x in out[:4])
+    os.makedirs(media_dir, exist_ok=True)
+    B = mel_out.shape[0]
+    rnd = pyrandom.Random(iteration)
+    idxs = rnd.sample(range(B), min(3, B))
+    for j, idx in enumerate(idxs):
+        t_in = int(np.asarray(batch.text_lengths)[idx])
+        t_out = int(np.asarray(batch.output_lengths)[idx])
+        prefix = os.path.join(media_dir, f"iter{iteration}_s{j}")
+        plot_alignment(aligns[idx, :t_out, :t_in].T,
+                       save_path=prefix + "_align.png")
+        plot_spectrogram(mel_post[idx, :, :t_out],
+                         np.asarray(batch.mels)[idx, :, :t_out],
+                         save_path=prefix + "_mel.png")
+        sig = 1.0 / (1.0 + np.exp(-gates[idx, :t_out]))
+        plot_gate_outputs(np.asarray(batch.gate)[idx, :t_out], sig,
+                          save_path=prefix + "_gate.png")
 
 
 def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
@@ -99,10 +134,15 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     g_lr, d_lr = hp.g_learning_rate, hp.d_learning_rate
     if checkpoint_path is not None:
         if warm_start:
-            restored = ckpt.restore(checkpoint_path, state)
+            # Raw (template-free) restore: warm starts typically cross
+            # configs whose layer shapes differ.
+            from gantron_tpu.utils.loading import load_checkpoint_tree
+
+            payload = load_checkpoint_tree(checkpoint_path)
             state = state.replace(
-                g_params=warm_start_filter(state.g_params, restored.g_params,
-                                           hp.ignore_layers))
+                g_params=warm_start_filter(
+                    state.g_params, payload["state"]["g_params"],
+                    hp.ignore_layers))
         else:
             state = ckpt.restore(checkpoint_path, state)
             iteration = int(np.asarray(state.step)) + 1
@@ -185,7 +225,9 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             if iteration % hp.iters_per_checkpoint == 0:
                 flush_log()
                 val_loss = validate(eval_step, state, val_loader, mesh,
-                                    iteration, hp, logger, hp.attn_steps)
+                                    iteration, hp, logger, hp.attn_steps,
+                                    media_dir=os.path.join(output_directory,
+                                                           "media"))
                 ckpt.save(jax.device_get(state), iteration, val_loss,
                           extra={"g_lr": g_lr, "d_lr": d_lr})
 
@@ -200,7 +242,9 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             if stop:
                 flush_log()
                 val_loss = validate(eval_step, state, val_loader, mesh,
-                                    iteration, hp, logger, hp.attn_steps)
+                                    iteration, hp, logger, hp.attn_steps,
+                                    media_dir=os.path.join(output_directory,
+                                                           "media"))
                 ckpt.save(jax.device_get(state), iteration, val_loss,
                           extra={"g_lr": g_lr, "d_lr": d_lr})
                 return state, iteration

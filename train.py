@@ -59,6 +59,9 @@ def main():
 
     from gantron_tpu.config import HParams
     from gantron_tpu.train.loop import train
+    from gantron_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from gantron_tpu.utils.logging import MetricLogger
 
     hp = HParams.create(args.hparams)
