@@ -180,6 +180,42 @@ class DataLoader:
             yield collate(batch, self.hp)
 
 
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable: overlaps host-side
+    loading/collation with device compute (the reference relies on torch
+    DataLoader workers, train.py:107; here one thread + a small queue is
+    enough because mels are cached after the first epoch)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for item in self.loader:
+                    q.put(item)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+
+
 class SyntheticDataset:
     """Deterministic synthetic samples with realistic length distribution —
     used by benchmarks and smoke tests when no corpus is mounted."""

@@ -288,6 +288,65 @@ class Decoder(nn.Module):
         return (mels.transpose(1, 2, 0), gates.T, attn_ws.transpose(1, 0, 2),
                 lengths)
 
+    def infer_early_exit(self, memory, dropout_rng,
+                         max_steps: Optional[int] = None):
+        """Like ``infer`` but with a ``lax.while_loop`` that stops as soon as
+        every sequence's gate fires — synthesis latency scales with the
+        *actual* utterance length instead of the decoder cap. Outputs are
+        written into preallocated (B, n_mel, S) buffers; frames past each
+        stop point are zero.
+        """
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        S = max_steps or hp.max_decoder_steps
+        processed_memory = memory @ self.memory_w
+        P = hp.prenet_dim
+
+        state0 = self._init_state(memory)
+        # Same per-step key derivation as the scan path so both modes
+        # produce identical decodes for a given rng.
+        keys = jax.random.split(dropout_rng, S)
+        mels0 = jnp.zeros((S, B, hp.n_mel_channels), memory.dtype)
+        gates0 = jnp.zeros((S, B), memory.dtype)
+        attn0 = jnp.zeros((S, B, T_in), memory.dtype)
+        prev0 = jnp.zeros((B, hp.n_mel_channels), memory.dtype)
+        finished0 = jnp.zeros((B,), bool)
+        length0 = jnp.full((B,), S, jnp.int32)
+
+        def cond(carry):
+            _, _, finished, _, t, *_ = carry
+            return jnp.logical_and(t < S, ~jnp.all(finished))
+
+        def body(carry):
+            state, prev, finished, length, t, mels, gates, attns = carry
+            k_pre, k_core = jax.random.split(keys[t])
+            prenet_t = self._prenet(prev, k_pre)
+            proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
+                      + self.attention_rnn.b)
+            state = self._step_core(state, proj_t, k_core, memory,
+                                    processed_memory, None, False)
+            dec_h, context, attn_w = state[2], state[6], state[4]
+            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
+            mel_t = hidden_ctx @ self.proj_w + self.proj_b
+            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
+
+            mels = mels.at[t].set(jnp.where(finished[:, None], 0.0, mel_t))
+            gates = gates.at[t].set(gate_t)
+            attns = attns.at[t].set(attn_w)
+
+            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
+            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
+            length = jnp.where(newly, t + 1, length)
+            finished = jnp.logical_or(finished, stop_now)
+            return (state, mel_t, finished, length, t + 1, mels, gates,
+                    attns)
+
+        (_, _, _, lengths, _, mels, gates, attns) = jax.lax.while_loop(
+            cond, body, (state0, prev0, finished0, length0, jnp.int32(0),
+                         mels0, gates0, attn0))
+        return (mels.transpose(1, 2, 0), gates.T, attns.transpose(1, 0, 2),
+                lengths)
+
 
 class Tacotron2(nn.Module):
     """GANtron generator (reference model.py:586-723)."""
@@ -423,7 +482,7 @@ class Tacotron2(nn.Module):
 
     # -- inference ----------------------------------------------------------
     def infer(self, text, style=None, emotions=None, speaker=None,
-              max_steps: Optional[int] = None):
+              max_steps: Optional[int] = None, early_exit: bool = False):
         """Open-loop inference (reference model.py:675-723).
 
         ``text``: (B, T) int32 symbol ids. ``style``: optional (B, 1, noise)
@@ -459,7 +518,9 @@ class Tacotron2(nn.Module):
                                           None if hp.encoder_inputs else emotions,
                                           noise_rng, mem_style)
 
-        mel_outputs, gate_outputs, alignments, mel_lengths = self.decoder.infer(
+        decode = (self.decoder.infer_early_exit if early_exit
+                  else self.decoder.infer)
+        mel_outputs, gate_outputs, alignments, mel_lengths = decode(
             memory, k_dec, max_steps)
 
         post = self.postnet(mel_outputs.transpose(0, 2, 1), False, k_post)

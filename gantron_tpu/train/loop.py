@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gantron_tpu.data.dataset import (DataLoader, SyntheticDataset,
-                                      TextMelDataset)
+from gantron_tpu.data.dataset import (DataLoader, PrefetchLoader,
+                                      SyntheticDataset, TextMelDataset)
 from gantron_tpu.parallel import make_mesh, shard_batch, shard_state
 from gantron_tpu.train.checkpoint import CheckpointManager, warm_start_filter
 from gantron_tpu.train.state import create_train_state
@@ -172,7 +172,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             pending_log = None
 
     for epoch in range(n_epochs):
-        for batch in train_loader:
+        for batch in PrefetchLoader(train_loader):
             start = time.perf_counter()
             sharded = shard_batch(batch, mesh)
             do_disc = (iteration >= ITER_REP

@@ -190,3 +190,19 @@ def test_linear_discriminator():
                       rngs={"dropout": jax.random.PRNGKey(2),
                             "windows": jax.random.PRNGKey(3)})
     assert np.isfinite(float(loss))
+
+
+def test_inference_early_exit_matches_scan():
+    hp = tiny_hp()
+    batch = make_batch(hp)
+    model, variables, _ = init_and_apply(hp, batch)
+    text = batch[0][:1]
+    rngs = {"dropout": jax.random.PRNGKey(5), "noise": jax.random.PRNGKey(6)}
+    out_scan = model.apply(variables, text, method=model.infer, rngs=rngs)
+    out_wl = model.apply(variables, text, None, None, None, None, True,
+                         method=model.infer, rngs=rngs)
+    # Same rngs -> identical decode up to each stop point.
+    L = int(out_scan[4][0])
+    assert int(out_wl[4][0]) == L
+    np.testing.assert_allclose(np.asarray(out_scan[0])[0, :, :L],
+                               np.asarray(out_wl[0])[0, :, :L], atol=1e-4)
