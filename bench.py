@@ -4,7 +4,9 @@
 Runs the vanilla GANtron config (use_labels=False, use_noise=True — BASELINE
 config 1) at the reference's production shape (batch 32, full 28M-param
 model) on synthetic LJSpeech-like data, timing the production G/G/D schedule
-cycle (g_freq=2, d_freq=1, reference hparams.py:95-96).
+cycle (g_freq=2, d_freq=1, reference hparams.py:95-96). Mixed precision
+(fp16_run -> bf16 compute, f32 master params) matches the V100 fp16 baseline
+conditions; the f32 path measures ~8.7 steps/s on the same shapes.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
@@ -65,7 +67,7 @@ def main():
     from gantron_tpu.train.state import create_train_state
     from gantron_tpu.train.step import make_train_steps
 
-    hp = HParams.create("use_labels=False,use_noise=True")
+    hp = HParams.create("use_labels=False,use_noise=True,fp16_run=True")
     if not hp.use_noise:
         hp.noise_size = 0
 
