@@ -167,8 +167,10 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
         nonlocal pending_log
         if pending_log is not None:
             step_i, metrics = pending_log
+            # One bulk transfer instead of a device round-trip per scalar.
+            host = jax.device_get(metrics)
             logger.log_values(step_i, **{k: float(v)
-                                         for k, v in metrics.items()})
+                                         for k, v in host.items()})
             pending_log = None
 
     for epoch in range(n_epochs):

@@ -119,3 +119,21 @@ def test_ljspeech_sample_line():
             "read.")
     seq = text_to_sequence(text, ["english_cleaners"])
     assert sequence_to_text(seq) == text.lower()
+
+
+def test_cmudict_parsing():
+    import io
+
+    from gantron_tpu.text.cmudict import CMUDict
+
+    data = io.StringIO(
+        ";;; comment line\n"
+        "HELLO  HH AH0 L OW1\n"
+        "HELLO(1)  HH EH0 L OW1\n"
+        "WORLD  W ER1 L D\n"
+        "BADSYM  QQ XX\n")
+    d = CMUDict(data)
+    assert len(d) == 2
+    assert d.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    assert d.lookup("WORLD") == ["W ER1 L D"]
+    assert d.lookup("missing") is None
