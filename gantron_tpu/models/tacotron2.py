@@ -136,18 +136,23 @@ class Decoder(nn.Module):
         x = _dropout(jax.nn.relu(x @ self.prenet_w1), 0.5, k1)
         return x
 
-    def _location(self, attn_w, attn_w_cum):
+    def _merged_location_kernel(self):
+        """Compose location_conv (31,2,F) with location_dense (F,att) into a
+        single conv kernel (31,2,att): both are linear, so one conv replaces
+        conv+matmul inside the scan (fewer per-step ops and residuals)."""
+        return jnp.einsum("kcf,fa->kca", self.loc_conv_w, self.loc_dense_w)
+
+    def _location(self, attn_w, attn_w_cum, loc_kernel):
         cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # (B, T_in, 2)
-        loc = jax.lax.conv_general_dilated(
-            cat, self.loc_conv_w, window_strides=(1,),
+        return jax.lax.conv_general_dilated(
+            cat, loc_kernel, window_strides=(1,),
             padding=[(self.hp.attention_location_kernel_size // 2,) * 2],
             dimension_numbers=("NWC", "WIO", "NWC"))
-        return loc @ self.loc_dense_w  # (B, T_in, attention_dim)
 
     def _attend(self, attn_h, memory, processed_memory, attn_w, attn_w_cum,
-                mask):
+                mask, loc_kernel):
         processed_query = (attn_h @ self.query_w)[:, None]  # (B, 1, att)
-        processed_loc = self._location(attn_w, attn_w_cum)
+        processed_loc = self._location(attn_w, attn_w_cum, loc_kernel)
         energies = jnp.tanh(processed_query + processed_loc
                             + processed_memory) @ self.v_w  # (B, T_in, 1)
         energies = energies[..., 0]
@@ -166,7 +171,7 @@ class Decoder(nn.Module):
                 z(B, T_in), z(B, T_in), z(B, self.memory_dim))
 
     def _step_core(self, carry, attn_in_proj, key, memory, processed_memory,
-                   mask, train):
+                   mask, train, loc_kernel):
         """Shared per-frame math. ``attn_in_proj`` = prenet_t @ w_ih[:P] + b."""
         attn_h, attn_c, dec_h, dec_c, attn_w, attn_w_cum, context = carry
         P = self.hp.prenet_dim
@@ -180,7 +185,8 @@ class Decoder(nn.Module):
             attn_h = _dropout(attn_h, self.hp.p_attention_dropout, k0)
 
         context, attn_w_new = self._attend(attn_h, memory, processed_memory,
-                                           attn_w, attn_w_cum, mask)
+                                           attn_w, attn_w_cum, mask,
+                                           loc_kernel)
         attn_w_cum = attn_w_cum + attn_w_new
 
         rnn2 = self.decoder_rnn
@@ -208,6 +214,7 @@ class Decoder(nn.Module):
         T_out = mels.shape[2]
         mask = get_mask_from_lengths(memory_lengths, T_in)
         processed_memory = memory @ self.memory_w
+        loc_kernel = self._merged_location_kernel()
 
         # Teacher-forced inputs: go frame + all-but-last target frames.
         frames = jnp.concatenate(
@@ -226,7 +233,8 @@ class Decoder(nn.Module):
         def step(carry, xs):
             proj_t, key_t = xs
             carry = self._step_core(carry, proj_t, key_t, memory,
-                                    processed_memory, mask, train)
+                                    processed_memory, mask, train,
+                                    loc_kernel)
             dec_h, context, attn_w = carry[2], carry[6], carry[4]
             return carry, (dec_h, context, attn_w)
 
@@ -253,6 +261,7 @@ class Decoder(nn.Module):
         B, T_in, _ = memory.shape
         S = max_steps or hp.max_decoder_steps
         processed_memory = memory @ self.memory_w
+        loc_kernel = self._merged_location_kernel()
         P = hp.prenet_dim
 
         keys = jax.random.split(dropout_rng, S)
@@ -268,7 +277,8 @@ class Decoder(nn.Module):
             prenet_t = self._prenet(prev, k_pre)
             proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
             state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False)
+                                    processed_memory, None, False,
+                                    loc_kernel)
             dec_h, context, attn_w = state[2], state[6], state[4]
             hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
             mel_t = hidden_ctx @ self.proj_w + self.proj_b
@@ -300,6 +310,7 @@ class Decoder(nn.Module):
         B, T_in, _ = memory.shape
         S = max_steps or hp.max_decoder_steps
         processed_memory = memory @ self.memory_w
+        loc_kernel = self._merged_location_kernel()
         P = hp.prenet_dim
 
         state0 = self._init_state(memory)
@@ -324,7 +335,8 @@ class Decoder(nn.Module):
             proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
                       + self.attention_rnn.b)
             state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False)
+                                    processed_memory, None, False,
+                                    loc_kernel)
             dec_h, context, attn_w = state[2], state[6], state[4]
             hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
             mel_t = hidden_ctx @ self.proj_w + self.proj_b
