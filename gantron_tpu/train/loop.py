@@ -37,6 +37,32 @@ ITER_REP = 10000
 DISC_BURST = 100
 
 
+def is_disc_turn(iteration, gen_times, disc_times, hp, buffer_len):
+    """The G/D alternation decision (reference train.py:296-301):
+    after 5 generator warm-up steps, the discriminator trains when its
+    alternation counter is live, during its warm-up window, or during the
+    100-step burst every 10k iterations — provided a generated mel exists."""
+    do_disc = iteration >= ITER_REP and iteration % ITER_REP < DISC_BURST
+    return (iteration > GEN_WARM
+            and (disc_times > 0 or iteration < hp.disc_warmp_up or do_disc)
+            and hp.d_freq > 0 and buffer_len > 0)
+
+
+def advance_counters(d_turn, iteration, gen_times, disc_times, hp):
+    """Post-step counter updates (reference train.py:357-359, 420-423)."""
+    if d_turn:
+        disc_times += 1
+        if disc_times > hp.d_freq and iteration >= hp.disc_warmp_up:
+            disc_times = 0
+            gen_times = 1
+    else:
+        gen_times += 1
+        if gen_times > hp.g_freq and hp.d_freq > 0:
+            gen_times = 0
+            disc_times = 1
+    return gen_times, disc_times
+
+
 def prepare_dataloaders(hp, wavs_path):
     """(reference train.py:94-111)"""
     if wavs_path == "synthetic":
@@ -177,12 +203,8 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
         for batch in PrefetchLoader(train_loader):
             start = time.perf_counter()
             sharded = shard_batch(batch, mesh)
-            do_disc = (iteration >= ITER_REP
-                       and iteration % ITER_REP < DISC_BURST)
-            d_turn = (iteration > GEN_WARM
-                      and (disc_times > 0 or iteration < hp.disc_warmp_up
-                           or do_disc)
-                      and hp.d_freq > 0 and generated_mel_list)
+            d_turn = is_disc_turn(iteration, gen_times, disc_times, hp,
+                                  len(generated_mel_list))
 
             if d_turn:
                 idx = min(disc_times - 1, len(generated_mel_list) - 1)
@@ -197,11 +219,6 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 metrics["discriminator_duration"] = (
                     time.perf_counter() - start)
                 pending_log = (iteration, metrics)
-
-                disc_times += 1
-                if disc_times > hp.d_freq and iteration >= hp.disc_warmp_up:
-                    disc_times = 0
-                    gen_times = 1
             else:
                 attn_w = 10.0 if iteration < hp.attn_steps else 0.0
                 state, metrics, gen_mel = g_step(state, sharded,
@@ -217,11 +234,8 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 metrics["generation_duration"] = time.perf_counter() - start
                 pending_log = (iteration, metrics)
 
-                gen_times += 1
-                if gen_times > hp.g_freq and hp.d_freq > 0:
-                    gen_times = 0
-                    disc_times = 1
-
+            gen_times, disc_times = advance_counters(
+                d_turn, iteration, gen_times, disc_times, hp)
             iteration += 1
 
             if iteration % hp.iters_per_checkpoint == 0:

@@ -66,3 +66,17 @@ def test_resume_from_checkpoint(tmp_path):
                              logger=MetricLogger(out_dir, run_name="b",
                                                  quiet=True))
     assert iteration == 9  # resumed at 7, ran to 9
+
+
+def test_loop_linear_discriminator_and_vesus(tmp_path):
+    """Exercise the linear-discriminator and VESUS-conditioning paths
+    through the real training loop."""
+    hp = tiny_hp(iterations=8, iters_per_checkpoint=100,
+                 disc_warmp_up=7, discriminator_type="linear",
+                 vesus_path="/synthetic/vesus", use_labels=True)
+    out_dir = str(tmp_path / "run")
+    state, iteration = train(out_dir, None, False, hp, "synthetic",
+                             logger=MetricLogger(out_dir, run_name="lin",
+                                                 quiet=True))
+    assert iteration == 8
+    assert int(np.asarray(state.step)) == 8

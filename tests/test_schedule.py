@@ -1,0 +1,70 @@
+"""GAN alternation schedule unit tests (pure host logic).
+
+Simulates the decision sequence the reference's train loop produces
+(train.py:276-299, 357-359, 420-423) without running any compute.
+"""
+
+from gantron_tpu.config import HParams
+from gantron_tpu.train.loop import advance_counters, is_disc_turn
+
+
+def simulate(hp, n_steps, start=0):
+    """Returns the list of 'G'/'D' decisions for iterations [start, start+n)."""
+    gen_times, disc_times = 1, 0
+    buffer_len = 0
+    seq = []
+    for iteration in range(start, start + n_steps):
+        d = is_disc_turn(iteration, gen_times, disc_times, hp, buffer_len)
+        seq.append("D" if d else "G")
+        if not d:
+            buffer_len = min(buffer_len + 1, max(hp.d_freq, 1))
+        gen_times, disc_times = advance_counters(d, iteration, gen_times,
+                                                 disc_times, hp)
+    return "".join(seq)
+
+
+def test_warmup_then_disc_phase_then_alternation():
+    hp = HParams.create("disc_warmp_up=10,g_freq=2,d_freq=1")
+    seq = simulate(hp, 24)
+    # 6 G warm-up steps (iterations 0..5; is_disc_turn needs iteration > 5),
+    # then D-only until disc_warmp_up, one last D at 10, then G G D cycles.
+    assert seq.startswith("GGGGGG")
+    assert seq[6:11] == "DDDDD"
+    assert seq[11:23] == "GGD" * 4
+
+
+def test_d_freq_zero_means_generator_only():
+    hp = HParams.create("d_freq=0,disc_warmp_up=0")
+    assert simulate(hp, 30) == "G" * 30
+
+
+def test_g_freq_3_pattern():
+    hp = HParams.create("disc_warmp_up=8,g_freq=3,d_freq=1")
+    seq = simulate(hp, 30)
+    tail = seq[9:]  # after warm-ups
+    assert tail.startswith("GGGD" * 5)
+
+
+def test_disc_burst_every_10k():
+    hp = HParams.create("disc_warmp_up=500,g_freq=2,d_freq=1")
+    # Around iteration 10_000 the discriminator trains for 100 consecutive
+    # steps (reference train.py:297-299).
+    gen_times, disc_times, buffer_len = 1, 0, 1
+    seq = []
+    for iteration in range(9995, 10105):
+        d = is_disc_turn(iteration, gen_times, disc_times, hp, buffer_len)
+        seq.append("D" if d else "G")
+        gen_times, disc_times = advance_counters(d, iteration, gen_times,
+                                                 disc_times, hp)
+    s = "".join(seq)
+    burst = s[5:105]  # iterations 10000..10099
+    assert burst == "D" * 100
+    # Alternation resumes after the burst.
+    assert "G" in s[105:]
+
+
+def test_no_disc_without_generated_mel():
+    hp = HParams.create("disc_warmp_up=10,g_freq=2,d_freq=1")
+    # Even in the D window, an empty fake buffer forces a G step.
+    assert not is_disc_turn(7, 1, 0, hp, buffer_len=0)
+    assert is_disc_turn(7, 1, 0, hp, buffer_len=1)
