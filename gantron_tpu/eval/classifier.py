@@ -12,7 +12,7 @@ Replaces pytorch-lightning with a compact optax loop:
 
 import os
 import random
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 import jax

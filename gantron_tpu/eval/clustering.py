@@ -10,7 +10,6 @@ plotting.
 
 import itertools
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -8,7 +8,6 @@ averaged probabilities, SAVEE/CREMA-D label decoding from filenames.
 
 import os
 import random
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ per sample.
 """
 
 import os
-from typing import Optional
 
 import numpy as np
 import jax

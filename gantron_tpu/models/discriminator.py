@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gantron_tpu.models.modules import ConvNorm, xavier_uniform
+from gantron_tpu.models.modules import ConvNorm
 
 
 def _dropout(x, rate, key):

@@ -11,7 +11,7 @@ Channel-last layout; all convs are XLA convs over (B, T, C).
 """
 
 from dataclasses import dataclass
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax

@@ -1,7 +1,6 @@
 """Tacotron2 generator + discriminator model tests (shapes, masking, jit)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -5,8 +5,6 @@ import os
 
 import numpy as np
 
-import jax
-
 from gantron_tpu.eval.study import study_model
 from tests.test_eval import _tiny_generator
 
