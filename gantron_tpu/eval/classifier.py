@@ -227,6 +227,9 @@ class ClassifierTrainer:
 
     def evaluate(self, data: MelCrops, prefix="val_"):
         hp = self.hp
+        if self.variables is None:
+            self._init(np.zeros((1, hp.n_mel_channels, hp.n_frames),
+                                np.float32))
         losses, accs = [], []
         for mels, lengths, labels in data.batches(
                 hp.batch_size, shuffle=False, drop_last=False,

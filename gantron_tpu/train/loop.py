@@ -211,8 +211,19 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 gen_mel, gen_lengths = generated_mel_list[idx]
                 if iteration < hp.disc_warmp_up:
                     gen_mel, gen_lengths = rnd.choice(generated_mel_list)
-                state, metrics = d_step(state, sharded.mels,
-                                        sharded.output_lengths, gen_mel,
+                # Pad both mels to the largest bucket: collapses the
+                # (real bucket x fake bucket) d_step compile combinations to
+                # one; the D step costs ~8 ms, the padding is masked out by
+                # the per-sample valid-window counts.
+                T_max = max(hp.mel_buckets[-1], sharded.mels.shape[2],
+                            gen_mel.shape[2])
+                T_max = -(-T_max // hp.discriminator_window) * \
+                    hp.discriminator_window
+                pad_to = lambda m: jnp.pad(
+                    m, ((0, 0), (0, 0), (0, T_max - m.shape[2])))
+                state, metrics = d_step(state, pad_to(sharded.mels),
+                                        sharded.output_lengths,
+                                        pad_to(gen_mel),
                                         gen_lengths, jnp.float32(d_lr))
                 flush_log()
                 metrics["discriminator_learning_rate"] = d_lr
