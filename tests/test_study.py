@@ -28,3 +28,15 @@ def test_study_model_end_to_end(tmp_path):
     assert len([f for f in os.listdir(wav_dir) if f.endswith(".npy")]) == 6
     # Metrics are JSON-serializable (the CLI dumps them).
     json.dumps(metrics)
+
+
+def test_synthesizer_tts_from_string(tmp_path):
+    from gantron_tpu.tts import Synthesizer
+
+    hp, model, variables = _tiny_generator()
+    synth = Synthesizer(model, variables, hp)
+    mel, L = synth.infer_mel("hello there")
+    assert mel.shape[0] == 80 and mel.shape[1] == L and L >= 1
+    wav = synth.tts("hi", griffin_lim_iters=2)
+    assert wav.ndim == 1 and len(wav) > 0
+    assert np.all(np.isfinite(wav))
