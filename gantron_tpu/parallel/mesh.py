@@ -26,7 +26,11 @@ def make_mesh(shape: Optional[Sequence[int]] = None,
     devices = np.asarray(jax.devices())
     if shape is None:
         shape = (len(devices),)
-    return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {tuple(shape)} needs {n} devices, "
+                         f"only {len(devices)} visible")
+    return Mesh(devices[:n].reshape(tuple(shape)), tuple(axis_names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -66,9 +66,14 @@ def advance_counters(d_turn, iteration, gen_times, disc_times, hp):
 def prepare_dataloaders(hp, wavs_path):
     """(reference train.py:94-111)"""
     if wavs_path == "synthetic":
-        trainset = SyntheticDataset(hp, size=max(hp.batch_size * 8, 64))
+        # Length ranges follow the configured buckets so every batch collates
+        # to a bucket shape (one compile per step type, not one per batch).
+        t_in = (max(hp.text_buckets[-1] // 4, 4), hp.text_buckets[-1])
+        t_out = (max(hp.mel_buckets[-1] // 3, 8), hp.mel_buckets[-1])
+        trainset = SyntheticDataset(hp, size=max(hp.batch_size * 8, 64),
+                                    t_in=t_in, t_out=t_out)
         valset = SyntheticDataset(hp, size=max(hp.batch_size * 2, 16),
-                                  seed=1)
+                                  t_in=t_in, t_out=t_out, seed=1)
     else:
         trainset = TextMelDataset(hp.training_files, hp, wavs_path)
         valset = TextMelDataset(hp.validation_files, hp, wavs_path)
@@ -249,6 +254,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 d_turn, iteration, gen_times, disc_times, hp)
             iteration += 1
 
+            validated_at = -1
             if iteration % hp.iters_per_checkpoint == 0:
                 flush_log()
                 val_loss = validate(eval_step, state, val_loader, mesh,
@@ -257,6 +263,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                                                            "media"))
                 ckpt.save(jax.device_get(state), iteration, val_loss,
                           extra={"g_lr": g_lr, "d_lr": d_lr})
+                validated_at = iteration
 
             if (hp.reduce_lr_steps_every > 0
                     and iteration % int(hp.reduce_lr_steps_every) == 0):
@@ -268,12 +275,13 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     or (max_seconds and time.time() - t_start > max_seconds))
             if stop:
                 flush_log()
-                val_loss = validate(eval_step, state, val_loader, mesh,
-                                    iteration, hp, logger, hp.attn_steps,
-                                    media_dir=os.path.join(output_directory,
-                                                           "media"))
-                ckpt.save(jax.device_get(state), iteration, val_loss,
-                          extra={"g_lr": g_lr, "d_lr": d_lr})
+                if validated_at != iteration:  # avoid double validate+save
+                    val_loss = validate(
+                        eval_step, state, val_loader, mesh, iteration, hp,
+                        logger, hp.attn_steps,
+                        media_dir=os.path.join(output_directory, "media"))
+                    ckpt.save(jax.device_get(state), iteration, val_loss,
+                              extra={"g_lr": g_lr, "d_lr": d_lr})
                 return state, iteration
     flush_log()
     return state, iteration

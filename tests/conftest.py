@@ -24,3 +24,9 @@ jax.config.update("jax_platforms", "cpu")
 # Numerical-parity tests compare against float32 torch oracles; make f32
 # matmuls actually run in f32 (perf paths opt into bf16 via explicit dtypes).
 jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compile cache: the e2e loop tests compile full G/D/eval steps;
+# caching makes every run after the first near-instant (VERDICT r1 weak #3).
+from gantron_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -20,8 +20,8 @@ def tiny_hp(**over):
         prenet_dim=16, attention_dim=24, attention_location_n_filters=4,
         attention_location_kernel_size=7, postnet_embedding_dim=32,
         postnet_n_convolutions=3, noise_size=8, discriminator_dim=32,
-        max_decoder_steps=40, use_noise=True, use_labels=False,
-        scan_unroll=2,
+        max_decoder_steps=24, use_noise=True, use_labels=False,
+        scan_unroll=1,
         batch_size=8,
     ))
     for k, v in over.items():
@@ -29,7 +29,7 @@ def tiny_hp(**over):
     return hp
 
 
-def synth_batch(hp, B=8, T_in=12, T_out=40, seed=0):
+def synth_batch(hp, B=8, T_in=12, T_out=24, seed=0):
     rng = np.random.RandomState(seed)
     text = rng.randint(1, hp.n_symbols, (B, T_in)).astype(np.int32)
     text_lengths = rng.randint(T_in // 2, T_in + 1, B).astype(np.int32)
@@ -108,9 +108,10 @@ def test_gradient_penalty_path():
     batch = synth_batch(hp)
     state, gen, disc, g_tx, d_tx = create_train_state(
         hp, jax.random.PRNGKey(0), tuple(batch))
-    g_step, d_step, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
-    _, _, gen_mel = jax.jit(g_step)(state, batch, jnp.float32(1e-3),
-                                    jnp.float32(0.0))
+    _, d_step, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    # A random mel stands in for the generated one: the GP path only needs a
+    # fake-mel *value*, and skipping the g_step saves a full grad compile.
+    gen_mel = jax.random.normal(jax.random.PRNGKey(1), batch.mels.shape) * 0.1
     state2, metrics = jax.jit(d_step)(
         state, batch.mels, batch.output_lengths, gen_mel,
         batch.output_lengths, jnp.float32(7e-4))
