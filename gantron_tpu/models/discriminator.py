@@ -35,14 +35,27 @@ class Discriminator(nn.Module):
 
     @nn.compact
     def __call__(self, mel, train: bool = True):
-        """mel: (B, T, n_mel) with T a multiple of the window.
+        """mel: (B, T, n_mel), any T >= window.
 
-        Returns per-window scores (B, T // window).
+        Returns per-position scores (B, ceil(T / window)).
+
+        Reference-exact semantics (model.py:523-527): a non-multiple T gets
+        an *overlapping tail* window appended (concat of the truncated body
+        and the last ``window`` frames), then the (B, T', M) block is
+        row-major reshaped to (B, window*n_mel, T'//window) — channels
+        interleave time and mel exactly as the reference's
+        ``inputs.reshape(B, in_dim, -1)`` — and the dilated conv stack runs
+        over the last axis. T is static under jit, so the tail concat is
+        trace-time control flow.
         """
         hp = self.hp
         B, T, M = mel.shape
-        assert T % self.window == 0, "pad mel length to a window multiple"
-        x = mel.reshape(B, T // self.window, self.in_dim)  # (B, W, 1600)
+        r = T % self.window
+        if r:
+            mel = jnp.concatenate([mel[:, :T - r], mel[:, -self.window:]],
+                                  axis=1)
+        x = mel.reshape(B, self.in_dim, -1)   # (B, 1600, n_win) row-major
+        x = x.transpose(0, 2, 1)              # channel-last for NWC convs
 
         first_hidden = min(
             (self.in_dim // hp.discriminator_dim + 1) * hp.discriminator_dim,

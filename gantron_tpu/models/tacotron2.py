@@ -287,9 +287,13 @@ class Decoder(nn.Module):
             stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
             newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
             length = jnp.where(newly, t + 1, length)
+            # Frames past each sample's stop are zeroed so the postnet sees
+            # the same zero context as the reference's length-n buffer
+            # (model.py:478-497 stops producing frames at the gate).
+            mel_rec = jnp.where(finished[:, None], 0.0, mel_t)
             finished = jnp.logical_or(finished, stop_now)
             return ((state, mel_t, finished, length, t + 1),
-                    (mel_t, gate_t, attn_w))
+                    (mel_rec, gate_t, attn_w))
 
         (_, _, _, lengths, _), (mels, gates, attn_ws) = jax.lax.scan(
             step, (state0, prev0, finished0, length0, jnp.int32(0)), keys,
@@ -450,15 +454,19 @@ class Tacotron2(nn.Module):
 
     # -- training forward ---------------------------------------------------
     def __call__(self, text, text_lengths, mels, speaker_ids, emotions,
-                 output_lengths, train: bool = True):
+                 output_lengths, train: bool = True, style=None):
         """Teacher-forced forward (reference model.py:644-673).
+
+        ``style``: optional (B, 1, noise_size) noise overriding the internal
+        uniform draw — used for deterministic parity against the reference's
+        ``torch.rand`` sites (model.py:187, 275) and reproducible training.
 
         Returns [mel_outputs, mel_outputs_postnet, gate_outputs, alignments]
         with padded frames masked (mel -> 0, gate energy -> 1e3).
         """
         hp = self.hp
         noise_rng = (self.make_rng("noise")
-                     if self.noise_size > 0 else None)
+                     if self.noise_size > 0 and style is None else None)
         dropout_rng = self.make_rng("dropout")
         k_enc, k_dec, k_post = jax.random.split(dropout_rng, 3)
         k_noise_enc = k_noise_mem = None
@@ -466,11 +474,13 @@ class Tacotron2(nn.Module):
             k_noise_enc, k_noise_mem = jax.random.split(noise_rng)
 
         embedded = jnp.take(self.embedding, text, axis=0)  # (B, T, 512)
-        embedded = self._encoder_side_concat(embedded, emotions, k_noise_enc,
-                                             None)
+        embedded = self._encoder_side_concat(
+            embedded, emotions, k_noise_enc,
+            style if hp.encoder_inputs else None)
         encoder_outputs = self.encoder(embedded, text_lengths, train, k_enc)
-        memory = self._memory_side_concat(encoder_outputs, speaker_ids,
-                                          emotions, k_noise_mem, None)
+        memory = self._memory_side_concat(
+            encoder_outputs, speaker_ids, emotions, k_noise_mem,
+            None if hp.encoder_inputs else style)
 
         mel_outputs, gate_outputs, alignments = self.decoder(
             memory, mels, text_lengths, train, k_dec)

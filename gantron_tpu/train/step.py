@@ -60,6 +60,15 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
     fake = -real
+    if (hp.gradient_penalty_lambda > 0
+            and type(discriminator).__name__ == "LinearDiscriminator"):
+        # The reference has the same latent crash (train.py:49 feeds raw mel
+        # into a window-flattened MLP); fail with a clear message instead of
+        # an XLA shape error mid-trace.
+        raise NotImplementedError(
+            "gradient_penalty_lambda > 0 is not supported with "
+            "discriminator_type='linear'; use the conv discriminator or "
+            "disable the gradient penalty")
     # fp16_run maps to bfloat16 compute on TPU (checked here, not only in
     # __post_init__, so late `--hparams fp16_run=True` overrides work too).
     bf16 = (getattr(hp, "compute_dtype", "float32") == "bfloat16"

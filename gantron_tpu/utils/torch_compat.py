@@ -133,6 +133,21 @@ def conv_discriminator_from_torch(state_dict, hp) -> Dict:
     return params
 
 
+def linear_discriminator_from_torch(state_dict, hp) -> Dict:
+    """Linear discriminator weights (reference model.py:543-554):
+    discriminator.{0,1,2}.module.0 (DiscDense Linear) + discriminator.3
+    (final Linear)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict = {}
+    for i in range(3):
+        params[f"dense_{i}"] = {
+            "kernel": _lin(sd[f"discriminator.{i}.module.0.weight"]),
+            "bias": np.asarray(sd[f"discriminator.{i}.module.0.bias"])}
+    params["out"] = {"kernel": _lin(sd["discriminator.3.weight"]),
+                     "bias": np.asarray(sd["discriminator.3.bias"])}
+    return params
+
+
 def load_reference_checkpoint(path, hp):
     """Load a reference ``.ckpt`` (torch.save dict with 'state_dict') and
     convert the generator weights. Requires torch (CPU)."""

@@ -1,0 +1,283 @@
+"""Numerical parity vs the ACTUAL PyTorch reference (/root/reference/model.py).
+
+The round-1 parity evidence compared against a re-built torch oracle; these
+tests import the reference's own ``Tacotron2`` / ``Discriminator`` classes
+(CPU, via tests/_reference.py), convert the reference's randomly-initialized
+weights into our parameter trees, and compare outputs at FULL model size
+(512/1024 dims) on ragged-length batches so every masking path is exercised.
+
+Determinism: dropout off on both sides (the only non-determinism left in
+eval mode is the prenet's always-on dropout, reference model.py:104), BN in
+eval, and the reference's internal ``torch.rand`` noise draws mirrored into
+our ``style=`` injection.
+
+Tolerance: the north-star is <=1e-3 mel MAE (BASELINE.md); float32 drift
+through a 64-step recurrence is ~1e-5, so these assert well below the bar.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gantron_tpu.config import HParams
+from gantron_tpu.models import Tacotron2
+from gantron_tpu.utils.torch_compat import tacotron2_from_torch
+
+from tests._reference import (fixed_torch_rand, import_reference, no_dropout,
+                              reference_hparams)
+
+torch = pytest.importorskip("torch")
+
+B, T_IN, T_OUT = 4, 28, 64
+TEXT_LENGTHS = [28, 22, 15, 9]   # desc (reference pack_padded needs sorted)
+MEL_LENGTHS = [64, 51, 40, 23]
+
+
+def make_inputs(hp, seed=0):
+    rng = np.random.RandomState(seed)
+    text = rng.randint(1, hp.n_symbols, (B, T_IN)).astype(np.int64)
+    for b, L in enumerate(TEXT_LENGTHS):
+        text[b, L:] = 0
+    mels = (rng.randn(B, hp.n_mel_channels, T_OUT) * 1.5 - 6.0).astype(
+        np.float32)
+    for b, L in enumerate(MEL_LENGTHS):
+        mels[b, :, L:] = 0
+    speakers = np.asarray([0, 5, 122, 42], np.int64)
+    emotions = rng.rand(B, 5).astype(np.float32)
+    return text, mels, speakers, emotions
+
+
+def run_reference(ref_hp, inputs, noise_arrays=()):
+    """Teacher-forced forward through the reference Tacotron2 on CPU."""
+    ref_model = import_reference()
+    text, mels, speakers, emotions = inputs
+    torch.manual_seed(0)
+    model = ref_model.Tacotron2(ref_hp).eval()
+    args = (torch.from_numpy(text), torch.from_numpy(np.asarray(
+                TEXT_LENGTHS, np.int64)),
+            torch.from_numpy(mels), T_IN,
+            torch.from_numpy(speakers),
+            torch.from_numpy(emotions),
+            torch.from_numpy(np.asarray(MEL_LENGTHS, np.int64)))
+    with torch.no_grad(), no_dropout(), fixed_torch_rand(noise_arrays):
+        out = model.forward(args)
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    return [o.numpy() for o in out], sd
+
+
+def run_ours(hp, sd, inputs, style=None):
+    text, mels, speakers, emotions = inputs
+    params, stats = tacotron2_from_torch(sd, hp)
+    model = Tacotron2(hp)
+    with no_dropout():
+        out = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(text, jnp.int32),
+            jnp.asarray(TEXT_LENGTHS, jnp.int32),
+            jnp.asarray(mels),
+            jnp.asarray(speakers, jnp.int32),
+            jnp.asarray(emotions),
+            jnp.asarray(MEL_LENGTHS, jnp.int32),
+            train=False,
+            style=None if style is None else jnp.asarray(style),
+            rngs={"dropout": jax.random.PRNGKey(0)})
+    return [np.asarray(o) for o in out]
+
+
+def assert_parity(ref_out, our_out, tol=1e-3):
+    names = ["mel", "mel_postnet", "gate", "alignments"]
+    for name, r, o in zip(names, ref_out, our_out):
+        assert r.shape == o.shape, (name, r.shape, o.shape)
+        mae = float(np.mean(np.abs(r - o)))
+        assert mae <= tol, f"{name} MAE {mae:.3e} > {tol}"
+
+
+def test_vanilla_full_size():
+    """use_noise=False, LJ-only: the fully deterministic path
+    (reference model.py:644-673 with all conditioning off)."""
+    ref_hp = reference_hparams(use_noise=False, use_labels=False)
+    hp = HParams()
+    hp.add_params(dict(use_noise=False, use_labels=False, noise_size=0,
+                       scan_unroll=1))
+    inputs = make_inputs(hp)
+    ref_out, sd = run_reference(ref_hp, inputs)
+    our_out = run_ours(hp, sd, inputs)
+    assert_parity(ref_out, our_out)
+
+
+def test_noise_memory_side_full_size():
+    """use_noise=True, encoder_inputs=False: 512-dim uniform noise concat to
+    decoder memory (reference model.py:273-279, 433)."""
+    noise = np.random.RandomState(7).rand(B, 1, 512).astype(np.float32)
+    ref_hp = reference_hparams(use_noise=True, use_labels=False)
+    hp = HParams()
+    hp.add_params(dict(use_noise=True, use_labels=False, noise_size=512,
+                       scan_unroll=1))
+    inputs = make_inputs(hp)
+    # Reference decoder draws torch.rand(B, 1, noise) then repeats over T_in
+    # (model.py:275); we inject the same values on both sides.
+    ref_out, sd = run_reference(ref_hp, inputs, noise_arrays=[noise])
+    our_out = run_ours(hp, sd, inputs, style=noise)
+    assert_parity(ref_out, our_out)
+
+
+def test_vesus_labels_full_size():
+    """VESUS config: speaker embedding + emotion concat to decoder memory
+    (reference model.py:655-663)."""
+    ref_hp = reference_hparams(use_noise=False, use_labels=True,
+                               vesus_path="/data/vesus")
+    hp = HParams()
+    hp.add_params(dict(use_noise=False, use_labels=True, noise_size=0,
+                       vesus_path="/data/vesus", scan_unroll=1))
+    inputs = make_inputs(hp)
+    ref_out, sd = run_reference(ref_hp, inputs)
+    our_out = run_ours(hp, sd, inputs)
+    assert_parity(ref_out, our_out)
+
+
+def test_encoder_inputs_full_size():
+    """encoder_inputs=True: emotions + noise appended as encoder conv input
+    channels (reference model.py:167-169, 184-191, 649-651)."""
+    noise = np.random.RandomState(11).rand(B, 1, 512).astype(np.float32)
+    # Reference encoder draws torch.rand(B, noise_size, 1) and repeats over
+    # T (model.py:187) -> inject the transposed layout.
+    ref_noise = np.transpose(noise, (0, 2, 1))
+    ref_hp = reference_hparams(use_noise=True, use_labels=True,
+                               encoder_inputs=True, vesus_path="/data/vesus")
+    hp = HParams()
+    hp.add_params(dict(use_noise=True, use_labels=True, noise_size=512,
+                       encoder_inputs=True, vesus_path="/data/vesus",
+                       scan_unroll=1))
+    inputs = make_inputs(hp)
+    ref_out, sd = run_reference(ref_hp, inputs, noise_arrays=[ref_noise])
+    our_out = run_ours(hp, sd, inputs, style=noise)
+    assert_parity(ref_out, our_out)
+
+
+def test_free_running_inference_shared_noise():
+    """Open-loop decode parity with a pre-drawn shared style
+    (reference model.py:456-497, 675-723)."""
+    ref_model = import_reference()
+    S = 40
+    ref_hp = reference_hparams(use_noise=True, use_labels=False,
+                               max_decoder_steps=S)
+    hp = HParams()
+    hp.add_params(dict(use_noise=True, use_labels=False, noise_size=512,
+                       max_decoder_steps=S, scan_unroll=1))
+
+    rng = np.random.RandomState(3)
+    text = rng.randint(1, hp.n_symbols, (1, 17)).astype(np.int64)
+    style = rng.rand(1, 1, 512).astype(np.float32)
+
+    torch.manual_seed(0)
+    model = ref_model.Tacotron2(ref_hp).eval()
+    # Bias the gate far negative so neither side stops early: all S frames
+    # of the open-loop recurrence get compared, not just the first.
+    model.decoder.gate_layer.linear_layer.bias.data.fill_(-8.0)
+    ref_style = torch.from_numpy(np.repeat(style, 17, axis=1))
+    with torch.no_grad(), no_dropout():
+        ref_out = model.inference(torch.from_numpy(text), style=ref_style)
+    ref_out = [o.numpy() for o in ref_out]
+    # The reference inference loop stacks unsqueezed gate tensors
+    # (model.py:483 vs 448), yielding (B, T, 1); normalize to (B, T).
+    ref_out[2] = ref_out[2].reshape(ref_out[2].shape[0], -1)
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+
+    params, stats = tacotron2_from_torch(sd, hp)
+    ours = Tacotron2(hp)
+    with no_dropout():
+        out = ours.apply({"params": params, "batch_stats": stats},
+                         jnp.asarray(text, jnp.int32),
+                         style=jnp.asarray(style),
+                         rngs={"dropout": jax.random.PRNGKey(0)},
+                         method=Tacotron2.infer)
+    mel, mel_post, gate, align, lengths = [np.asarray(o) for o in out]
+
+    # The reference stops at its gate/max-step condition; compare the frames
+    # it actually produced.
+    n = ref_out[0].shape[2]
+    assert int(lengths[0]) == n or n == S
+    for name, r, o in zip(["mel", "mel_postnet", "gate", "align"],
+                          ref_out, [mel[:, :, :n], mel_post[:, :, :n],
+                                    gate[:, :n], align[:, :n]]):
+        mae = float(np.mean(np.abs(r - o)))
+        assert mae <= 1e-3, f"{name} MAE {mae:.3e}"
+
+
+# ---------------------------------------------------------------------------
+# Discriminator parity (reference model.py:500-583)
+# ---------------------------------------------------------------------------
+
+D_T = 73          # deliberately NOT a window multiple: exercises the
+D_LENGTHS = [73, 50, 33, 21]  # overlapping-tail path (model.py:523-524)
+
+
+def test_conv_discriminator_reference_parity():
+    """Window regrouping + tail overlap + per-sample valid-window averaging
+    must match the reference Discriminator exactly."""
+    from gantron_tpu.models.discriminator import Discriminator
+    from gantron_tpu.utils.torch_compat import conv_discriminator_from_torch
+
+    ref_model = import_reference()
+    ref_hp = reference_hparams()
+    torch.manual_seed(1)
+    ref_d = ref_model.Discriminator(ref_hp).eval()
+    sd = {k: v.detach().float().numpy() for k, v in ref_d.state_dict().items()}
+
+    rng = np.random.RandomState(5)
+    mel = (rng.randn(B, ref_hp.n_mel_channels, D_T) * 1.5 - 6.0).astype(
+        np.float32)
+    lengths = np.asarray(D_LENGTHS, np.int64)
+
+    with torch.no_grad():
+        ref_scores = ref_d.forward(
+            torch.from_numpy(mel).transpose(1, 2)).numpy()
+        ref_loss = float(ref_d.adversarial_loss(
+            torch.from_numpy(mel), torch.from_numpy(lengths)))
+
+    hp = HParams()
+    ours = Discriminator(hp)
+    params = conv_discriminator_from_torch(sd, hp)
+    scores = np.asarray(ours.apply(
+        {"params": params}, jnp.asarray(mel).transpose(0, 2, 1), False))
+    np.testing.assert_allclose(scores, ref_scores, atol=1e-5)
+
+    loss = float(ours.apply(
+        {"params": params}, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
+        False, method=Discriminator.adversarial_loss))
+    assert abs(loss - ref_loss) <= 1e-5, (loss, ref_loss)
+
+
+def test_linear_discriminator_reference_parity():
+    """Sliding windows + tail with overlap pinned to 0 (both sides) so the
+    window sets are identical (reference model.py:567-583)."""
+    from gantron_tpu.models.discriminator import LinearDiscriminator
+    from gantron_tpu.utils.torch_compat import (
+        linear_discriminator_from_torch)
+
+    ref_model = import_reference()
+    ref_hp = reference_hparams()
+    torch.manual_seed(2)
+    ref_d = ref_model.LinearDiscriminator(ref_hp).eval()
+    ref_d.max_window_overlap = 0
+    sd = {k: v.detach().float().numpy() for k, v in ref_d.state_dict().items()}
+
+    rng = np.random.RandomState(6)
+    mel = (rng.randn(B, ref_hp.n_mel_channels, D_T) * 1.5 - 6.0).astype(
+        np.float32)
+    lengths = np.asarray(D_LENGTHS, np.int64)
+
+    with torch.no_grad():
+        ref_loss = float(ref_d.adversarial_loss(
+            torch.from_numpy(mel), torch.from_numpy(lengths)))
+
+    hp = HParams()
+    ours = LinearDiscriminator(hp, max_window_overlap=0)
+    params = linear_discriminator_from_torch(sd, hp)
+    loss = float(ours.apply(
+        {"params": params}, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
+        False, method=LinearDiscriminator.adversarial_loss,
+        rngs={"windows": jax.random.PRNGKey(0)}))
+    assert abs(loss - ref_loss) <= 1e-5, (loss, ref_loss)
