@@ -47,6 +47,9 @@ class HParams:
     epochs: int = 100
     iterations: Optional[int] = None  # if set, stop after this many steps
     iters_per_checkpoint: int = 5000
+    # Render vocoded validation audio at checkpoints (reference
+    # logger.py:27-54; WaveGlow when --waveglow_path given, else Griffin-Lim).
+    validation_audio: bool = True
     seed: int = 1234
     dynamic_loss_scaling: bool = True  # inert on TPU (bf16 needs no scaling)
     fp16_run: bool = False  # on TPU: bfloat16 compute

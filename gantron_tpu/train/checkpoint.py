@@ -73,6 +73,18 @@ class CheckpointManager:
             state_template, payload["state"])
 
     @staticmethod
+    def load_meta(path: str) -> Optional[dict]:
+        """Side metadata saved next to the checkpoint (learning rates —
+        the reference stores them inside the torch dict, train.py:158-166)."""
+        import json
+
+        meta_path = path + ".meta.json"
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as f:
+            return json.load(f)
+
+    @staticmethod
     def parse_name(path: str) -> Optional[Tuple[int, float]]:
         m = _CKPT_RE.search(os.path.basename(path))
         if not m:

@@ -83,10 +83,11 @@ def prepare_dataloaders(hp, wavs_path):
 
 
 def validate(eval_step, state, val_loader, mesh, iteration, hp, logger,
-             attn_steps, media_dir=None):
+             attn_steps, media_dir=None, vocoder=None):
     """Teacher-forced validation (reference train.py:169-208). When
-    ``media_dir`` is set, renders alignment/mel/gate plots for 3 random
-    samples of the last batch (reference logger.py:17-61)."""
+    ``media_dir`` is set, renders alignment/mel/gate plots AND vocoded audio
+    for 3 random samples of the last batch (reference logger.py:17-61;
+    WaveGlow when provided, Griffin-Lim otherwise)."""
     mel_l = gate_l = attn_l = 0.0
     n = 0
     last = None
@@ -108,14 +109,47 @@ def validate(eval_step, state, val_loader, mesh, iteration, hp, logger,
         attn_l = 0.0
 
     if media_dir and last is not None:
-        _save_validation_media(last, iteration, media_dir, hp)
+        _save_validation_media(last, iteration, media_dir, hp, logger,
+                               vocoder)
     logger.log_validation(mel_l, gate_l, attn_l, iteration)
     return mel_l + gate_l
 
 
-def _save_validation_media(last, iteration, media_dir, hp):
+def make_vocoder(hp, waveglow_path=None):
+    """Validation/inference vocoder: WaveGlow (converted torch weights) when
+    a checkpoint is given (reference logger.py:27-31), Griffin-Lim fallback
+    otherwise (reference audio_processing.py:59-75). Returns
+    ``vocode(mel_bct) -> (B, T_wav) float32``."""
+    import jax as _jax
+
+    if waveglow_path:
+        from gantron_tpu.models.waveglow import load_waveglow
+
+        waveglow = load_waveglow(waveglow_path)
+
+        def vocode(mel):
+            return np.asarray(waveglow.infer(
+                jnp.asarray(mel), 0.666, _jax.random.PRNGKey(0)))
+        return vocode
+
+    from gantron_tpu.audio.mel import MelSpectrogram, mel_to_wav_griffin_lim
+
+    mel_fn = MelSpectrogram(hp.filter_length, hp.hop_length, hp.win_length,
+                            hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin,
+                            hp.mel_fmax)
+
+    def vocode(mel):
+        return np.asarray(mel_to_wav_griffin_lim(
+            jnp.asarray(mel), mel_fn, n_iters=30,
+            key=_jax.random.PRNGKey(0)))
+    return vocode
+
+
+def _save_validation_media(last, iteration, media_dir, hp, logger=None,
+                           vocoder=None):
     import numpy as np  # noqa: F811
 
+    from gantron_tpu.data.wav import write_wav
     from gantron_tpu.utils.plotting import (plot_alignment,
                                             plot_gate_outputs,
                                             plot_spectrogram)
@@ -126,6 +160,7 @@ def _save_validation_media(last, iteration, media_dir, hp):
     B = mel_out.shape[0]
     rnd = pyrandom.Random(iteration)
     idxs = rnd.sample(range(B), min(3, B))
+    images, audios = {}, {}
     for j, idx in enumerate(idxs):
         t_in = int(np.asarray(batch.text_lengths)[idx])
         t_out = int(np.asarray(batch.output_lengths)[idx])
@@ -138,15 +173,32 @@ def _save_validation_media(last, iteration, media_dir, hp):
         sig = 1.0 / (1.0 + np.exp(-gates[idx, :t_out]))
         plot_gate_outputs(np.asarray(batch.gate)[idx, :t_out], sig,
                           save_path=prefix + "_gate.png")
+        images[f"alignment_{j}"] = prefix + "_align.png"
+        images[f"mel_{j}"] = prefix + "_mel.png"
+        images[f"gate_{j}"] = prefix + "_gate.png"
+        if vocoder is not None:
+            # Vocode at the batch's padded length (one compile per bucket
+            # shape), then cut to the true length.
+            wav = vocoder(mel_post[idx : idx + 1])[0]
+            wav = wav[: t_out * hp.hop_length]
+            write_wav(prefix + ".wav", wav, hp.sampling_rate)
+            audios[f"audio_{j}"] = wav
+    if logger is not None:
+        logger.log_media(iteration, images=images, audios=audios,
+                         sample_rate=hp.sampling_rate)
 
 
 def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
           bool, hp, wavs_path: str, logger: Optional[MetricLogger] = None,
-          real: float = 1.0, max_seconds: Optional[float] = None):
+          real: float = 1.0, max_seconds: Optional[float] = None,
+          waveglow_path: Optional[str] = None):
     """Main entry (reference train.py:211-440)."""
     os.makedirs(output_directory, exist_ok=True)
     logger = logger or MetricLogger(output_directory)
     mesh = make_mesh(hp.mesh_shape)
+    vocoder = None
+    if getattr(hp, "validation_audio", True):
+        vocoder = make_vocoder(hp, waveglow_path)
 
     train_loader, val_loader = prepare_dataloaders(hp, wavs_path)
 
@@ -163,6 +215,13 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     ckpt = CheckpointManager(output_directory)
     iteration = 0
     g_lr, d_lr = hp.g_learning_rate, hp.d_learning_rate
+    if checkpoint_path is None and not warm_start:
+        # Auto-resume: a preempted run restarted with the same command picks
+        # up from the newest checkpoint in its output directory.
+        latest = ckpt.latest()
+        if latest is not None:
+            logger.info(f"Auto-resuming from {latest}")
+            checkpoint_path = latest
     if checkpoint_path is not None:
         if warm_start:
             # Raw (template-free) restore: warm starts typically cross
@@ -177,10 +236,14 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
         else:
             state = ckpt.restore(checkpoint_path, state)
             iteration = int(np.asarray(state.step)) + 1
-            lrs = 2 ** (iteration // int(hp.reduce_lr_steps_every)
-                        if hp.reduce_lr_steps_every > 0 else 0)
             if hp.use_saved_learning_rate:
-                g_lr, d_lr = g_lr / lrs, d_lr / lrs
+                # Restore the LRs stored with the checkpoint (reference
+                # train.py:266-269) — NOT a schedule reconstruction, so
+                # off-schedule adjustments survive a resume.
+                meta = CheckpointManager.load_meta(checkpoint_path)
+                if meta is not None:
+                    g_lr = float(meta.get("g_lr", g_lr))
+                    d_lr = float(meta.get("d_lr", d_lr))
 
     state = shard_state(state, mesh)
 
@@ -200,8 +263,11 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             step_i, metrics = pending_log
             # One bulk transfer instead of a device round-trip per scalar.
             host = jax.device_get(metrics)
-            logger.log_values(step_i, **{k: float(v)
-                                         for k, v in host.items()})
+            host = {k: float(v) for k, v in host.items()}
+            logger.log_values(step_i, **host)
+            key = ("generator_loss" if "generator_loss" in host
+                   else "discriminator_loss")
+            logger.progress(step_i, hp.iterations, **{key: host[key]})
             pending_log = None
 
     for epoch in range(n_epochs):
@@ -260,7 +326,8 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 val_loss = validate(eval_step, state, val_loader, mesh,
                                     iteration, hp, logger, hp.attn_steps,
                                     media_dir=os.path.join(output_directory,
-                                                           "media"))
+                                                           "media"),
+                                    vocoder=vocoder)
                 ckpt.save(jax.device_get(state), iteration, val_loss,
                           extra={"g_lr": g_lr, "d_lr": d_lr})
                 validated_at = iteration
@@ -279,7 +346,8 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     val_loss = validate(
                         eval_step, state, val_loader, mesh, iteration, hp,
                         logger, hp.attn_steps,
-                        media_dir=os.path.join(output_directory, "media"))
+                        media_dir=os.path.join(output_directory, "media"),
+                        vocoder=vocoder)
                     ckpt.save(jax.device_get(state), iteration, val_loss,
                               extra={"g_lr": g_lr, "d_lr": d_lr})
                 return state, iteration

@@ -49,6 +49,40 @@ class MetricLogger:
             except ImportError:
                 pass
 
+    def info(self, msg: str):
+        if not self.quiet:
+            print(msg)
+
+    def progress(self, iteration: int, total: Optional[int], **metrics):
+        """tqdm-style live progress (reference train.py:284-293, 348-351):
+        a carriage-return-updated status line on a tty, a periodic plain
+        line otherwise."""
+        if self.quiet:
+            return
+        import sys
+
+        text = " ".join(f"{k}={_scalar(v):.4g}" for k, v in metrics.items())
+        total_s = f"/{total}" if total else ""
+        line = f"iter {iteration}{total_s} {text}"
+        if sys.stdout.isatty():
+            print("\r" + line.ljust(78)[:78], end="", flush=True)
+        elif iteration % 50 == 0:
+            print(line, flush=True)
+
+    def log_media(self, step: int, images: Optional[dict] = None,
+                  audios: Optional[dict] = None, sample_rate: int = 22050):
+        """Validation media (reference logger.py:17-61): image paths/arrays
+        and audio waveforms, uploaded to wandb when active."""
+        if self._wandb is None:
+            return
+        record = {}
+        for name, img in (images or {}).items():
+            record[name] = self._wandb.Image(img)
+        for name, wav in (audios or {}).items():
+            record[name] = self._wandb.Audio(wav, sample_rate=sample_rate)
+        if record:
+            self._wandb.log(record, step=step)
+
     def log_values(self, step: int, commit: bool = False, **kwargs):
         record = {_pretty(k): _scalar(v) for k, v in kwargs.items()}
         if self._file is not None:

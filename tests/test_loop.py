@@ -22,7 +22,7 @@ def tiny_hp(**over):
         max_decoder_steps=24, use_noise=True, use_labels=False,
         scan_unroll=1, mesh_shape=[1],  # 1-device mesh: CI hosts may have 1 core
         batch_size=4, iterations=10, iters_per_checkpoint=10,
-        disc_warmp_up=9, attn_steps=5,
+        disc_warmp_up=9, attn_steps=5, validation_audio=False,
         text_buckets=[16], mel_buckets=[40],
     ))
     for k, v in over.items():
@@ -80,3 +80,52 @@ def test_loop_linear_discriminator_and_vesus(tmp_path):
                                                  quiet=True))
     assert iteration == 8
     assert int(np.asarray(state.step)) == 8
+
+
+def test_auto_resume_and_saved_lr(tmp_path):
+    """A rerun with the same command auto-resumes from the newest checkpoint
+    (preemption recovery), and use_saved_learning_rate restores the LR stored
+    with the checkpoint (reference train.py:266-269) — including off-schedule
+    values — instead of reconstructing the halving schedule."""
+    hp = tiny_hp(iterations=6, iters_per_checkpoint=6)
+    out_dir = str(tmp_path / "run")
+    train(out_dir, None, False, hp, "synthetic",
+          logger=MetricLogger(out_dir, run_name="a", quiet=True))
+    ckpts = glob.glob(os.path.join(out_dir, "iter=*_val-loss=*.ckpt"))
+    assert ckpts
+
+    # Simulate an off-schedule LR adjustment recorded at save time.
+    meta_path = ckpts[0] + ".meta.json"
+    meta = json.load(open(meta_path))
+    meta["g_lr"] = 3.21e-4
+    json.dump(meta, open(meta_path, "w"))
+
+    hp2 = tiny_hp(iterations=8, iters_per_checkpoint=100,
+                  use_saved_learning_rate=True)
+    # No checkpoint path given: must auto-resume from latest().
+    state, iteration = train(out_dir, None, False, hp2, "synthetic",
+                             logger=MetricLogger(out_dir, run_name="b",
+                                                 quiet=True))
+    assert iteration == 8  # resumed at 7, not from scratch
+
+    records = [json.loads(l) for l in
+               open(os.path.join(out_dir, "b.metrics.jsonl"))]
+    lrs = [r["Generator learning rate"] for r in records
+           if "Generator learning rate" in r]
+    assert lrs and abs(lrs[0] - 3.21e-4) < 1e-12, lrs
+
+
+def test_validation_audio_griffin_lim(tmp_path):
+    """validation_audio=True writes vocoded wavs into media/ (reference
+    logger.py:27-54; Griffin-Lim fallback when no WaveGlow is given)."""
+    hp = tiny_hp(iterations=2, iters_per_checkpoint=2,
+                 validation_audio=True,
+                 filter_length=256, win_length=256, hop_length=64)
+    out_dir = str(tmp_path / "run")
+    train(out_dir, None, False, hp, "synthetic",
+          logger=MetricLogger(out_dir, run_name="v", quiet=True))
+    wavs = glob.glob(os.path.join(out_dir, "media", "*.wav"))
+    assert len(wavs) >= 1
+    from gantron_tpu.data.wav import load_wav
+    wav = load_wav(wavs[0], hp.sampling_rate)
+    assert wav.size > 0 and np.isfinite(wav).all()

@@ -79,7 +79,8 @@ def main():
     logger = MetricLogger(output_directory, run_name=name,
                           use_wandb=args.use_wandb, config=hp.as_dict())
     train(output_directory, args.checkpoint_path, args.warm_start, hp,
-          args.wavs_path, logger=logger, real=float(args.real))
+          args.wavs_path, logger=logger, real=float(args.real),
+          waveglow_path=args.waveglow_path)
 
 
 if __name__ == "__main__":
