@@ -47,6 +47,9 @@ class HParams:
     epochs: int = 100
     iterations: Optional[int] = None  # if set, stop after this many steps
     iters_per_checkpoint: int = 5000
+    # Length-aware batching: pool this many batches, sort the pool by mel
+    # length, emit in shuffled order (0/1 disables). Cuts bucket padding.
+    sort_pool_batches: int = 8
     # Render vocoded validation audio at checkpoints (reference
     # logger.py:27-54; WaveGlow when --waveglow_path given, else Griffin-Lim).
     validation_audio: bool = True

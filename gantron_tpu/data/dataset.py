@@ -10,8 +10,10 @@ with a TPU-friendly pipeline:
   * batches are padded up to (text_bucket, mel_bucket) boundaries instead of
     the per-batch max, so the jitted train step compiles a small, bounded set
     of shapes. Mel buckets are rounded up to discriminator-window multiples.
-  * no length-sorting (needed only for torch's pack_padded_sequence); the
-    masked BiLSTM handles arbitrary order.
+  * no per-batch length-sorting (needed only for torch's
+    pack_padded_sequence; the masked BiLSTM handles arbitrary order), but
+    POOLED length-aware batching: similar-length samples batch together so
+    each batch collates to its own bucket (see DataLoader).
 
 Gate targets are 1 from each sample's last valid frame onward
 (reference data_utils.py:127).
@@ -25,7 +27,7 @@ import numpy as np
 
 from gantron_tpu.audio import MelSpectrogram
 from gantron_tpu.data.filelists import load_filepaths_and_text, load_vesus
-from gantron_tpu.data.wav import load_wav
+from gantron_tpu.data.wav import load_wav, wav_info
 from gantron_tpu.text import text_to_sequence
 from gantron_tpu.train.step import Batch
 
@@ -93,7 +95,7 @@ class TextMelDataset:
         if os.path.exists(cache):
             return np.load(cache)
         wav = load_wav(audiopath, self.hp.sampling_rate)
-        mel = np.asarray(self.mel_fn(wav[None]))[0]
+        mel = self._wav_to_mel(wav)
         try:
             os.makedirs(os.path.dirname(cache), exist_ok=True)
             np.save(cache, mel)
@@ -101,9 +103,60 @@ class TextMelDataset:
             pass  # read-only dataset dir: recompute next epoch
         return mel
 
+    def _wav_to_mel(self, wav: np.ndarray) -> np.ndarray:
+        """Mel extraction with BOUNDED XLA compiles and byte-identical
+        values.
+
+        A corpus has thousands of distinct wav lengths; feeding each raw
+        length to the jitted mel pipeline would compile per length. Instead
+        the wav is extended by its own right reflection (exactly what the
+        STFT's reflect padding would produce, audio/stft.py frame()) and
+        zero-padded up to a coarse length bucket; the true frames then see
+        bit-identical window contents, and the padded tail is sliced off.
+        One compile per ~0.74 s bucket. Runs on host CPU: data work must
+        not occupy (or transfer through) the accelerator.
+        """
+        import jax
+
+        hp = self.hp
+        pad = hp.filter_length // 2
+        if len(wav) <= pad + 1:  # too short to reflect; direct (rare)
+            with jax.default_device(jax.devices("cpu")[0]):
+                return np.asarray(self.mel_fn(wav[None]))[0]
+        n_true = self.mel_fn.n_frames(len(wav))
+        chunk = hp.hop_length * 64
+        bucket = -(-(len(wav) + pad) // chunk) * chunk
+        tail = np.pad(wav, (0, pad), mode="reflect")[len(wav):]
+        padded = np.zeros(bucket, np.float32)
+        padded[: len(wav)] = wav
+        padded[len(wav) : len(wav) + pad] = tail
+        with jax.default_device(jax.devices("cpu")[0]):
+            mel = np.asarray(self.mel_fn(padded[None]))[0]
+        return mel[:, :n_true]
+
     def __getitem__(self, index: int):
         path, ids, speaker, emotions = self.entries[self.idx[index]]
         return ids, self.get_mel(path), speaker, emotions
+
+    def sort_key(self, index: int) -> int:
+        """Approximate mel frame count WITHOUT decoding audio (RIFF header
+        only, memoized) — feeds length-aware batch pooling."""
+        if not hasattr(self, "_sort_keys"):
+            self._sort_keys = {}
+        key = self._sort_keys.get(index)
+        if key is None:
+            path = self.entries[self.idx[index]][0]
+            if self.load_mel_from_disk:
+                key = index  # mel files: length unknown cheaply; stable order
+            else:
+                try:
+                    num_samples, rate = wav_info(path)
+                    scaled = num_samples * self.hp.sampling_rate / max(rate, 1)
+                    key = int(scaled // self.hp.hop_length) + 1
+                except (OSError, ValueError):
+                    key = 0
+            self._sort_keys[index] = key
+        return key
 
 
 def collate(samples, hp, text_buckets=None, mel_buckets=None) -> Batch:
@@ -147,7 +200,17 @@ def collate(samples, hp, text_buckets=None, mel_buckets=None) -> Batch:
 
 class DataLoader:
     """Sequential batcher over the shuffled dataset (drop_last like the
-    reference train loader, train.py:107-110)."""
+    reference train loader, train.py:107-110).
+
+    Length-aware pooling: the shuffled order is chopped into pools of
+    ``sort_pool_batches`` batches, each pool is sorted by (cheap,
+    header-derived) mel length, and the pool's batches are emitted in
+    shuffled order. Similar-length samples land in the same batch — so
+    batches collate to their *own* bucket instead of one long sample
+    dragging a whole batch to the top mel bucket — while the pool-level
+    shuffle keeps batch composition stochastic across epochs. The reference
+    only sorts within a batch (for pack_padded_sequence,
+    data_utils.py:88-99), which does not reduce padding at all."""
 
     def __init__(self, dataset: TextMelDataset, hp, batch_size=None,
                  shuffle=True, drop_last=True, seed=None):
@@ -157,6 +220,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = hp.seed if seed is None else seed
+        self.sort_pool = max(int(getattr(hp, "sort_pool_batches", 8)), 1)
         self.epoch = 0
 
     def __len__(self):
@@ -165,19 +229,34 @@ class DataLoader:
             n += 1
         return n
 
+    def _sort_key(self, i: int) -> int:
+        ds = self.dataset
+        if hasattr(ds, "sort_key"):
+            return ds.sort_key(i)
+        return ds[i][1].shape[1]  # in-memory datasets: true mel length
+
     def __iter__(self) -> Iterator[Batch]:
         order = list(range(len(self.dataset)))
+        rng = random.Random(self.seed + self.epoch)
         if self.shuffle:
-            random.Random(self.seed + self.epoch).shuffle(order)
+            rng.shuffle(order)
         self.epoch += 1
-        batch: List = []
-        for i in order:
-            batch.append(self.dataset[i])
-            if len(batch) == self.batch_size:
-                yield collate(batch, self.hp)
-                batch = []
-        if batch and not self.drop_last:
-            yield collate(batch, self.hp)
+
+        B = self.batch_size
+        pool_size = B * self.sort_pool
+        batches: List[List[int]] = []
+        for start in range(0, len(order), pool_size):
+            pool = order[start : start + pool_size]
+            if self.shuffle and self.sort_pool > 1:
+                pool.sort(key=self._sort_key)
+            pool_batches = [pool[i : i + B] for i in range(0, len(pool), B)]
+            if self.shuffle:
+                rng.shuffle(pool_batches)
+            batches.extend(pool_batches)
+
+        for idxs in batches:
+            if len(idxs) == B or not self.drop_last:
+                yield collate([self.dataset[i] for i in idxs], self.hp)
 
 
 class PrefetchLoader:

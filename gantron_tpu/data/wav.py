@@ -68,6 +68,33 @@ def read_wav(path):
     return x, rate
 
 
+def wav_info(path):
+    """(num_samples, rate) from the RIFF headers only — no decode. Used for
+    length-aware batch sorting."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate = None
+        block_align = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            chunk_id = hdr[:4]
+            size = struct.unpack("<I", hdr[4:8])[0]
+            if chunk_id == b"fmt ":
+                body = f.read(16)
+                _, channels, rate, _, block_align, _ = struct.unpack(
+                    "<HHIIHH", body)
+                f.seek(size - 16 + (size & 1), 1)
+            elif chunk_id == b"data":
+                return size // max(block_align or 1, 1), rate
+            else:
+                f.seek(size + (size & 1), 1)
+    raise ValueError(f"{path}: missing fmt/data chunk")
+
+
 def write_wav(path, audio, rate=22050):
     """Write mono float32 [-1, 1] audio as PCM16 (soundfile.write equiv)."""
     audio = np.asarray(audio, np.float32)

@@ -125,3 +125,30 @@ def test_synthetic_dataset_loader():
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0].mels.shape[2] % 20 == 0
+
+
+def test_length_aware_pooling_reduces_padding():
+    """Pooled length sorting batches similar lengths together: the average
+    collated T_out over an epoch must drop vs unpooled shuffling, and every
+    sample must still appear exactly once."""
+    from gantron_tpu.config import HParams
+    from gantron_tpu.data.dataset import DataLoader, SyntheticDataset
+
+    hp = HParams()
+    hp.add_params(dict(batch_size=8, text_buckets=[48, 96, 192],
+                       mel_buckets=[100, 200, 400, 600, 900]))
+    ds = SyntheticDataset(hp, size=256, t_in=(10, 180), t_out=(60, 860))
+
+    def epoch_stats(sort_pool):
+        hp.add_param("sort_pool_batches", sort_pool)
+        loader = DataLoader(ds, hp, shuffle=True, drop_last=True)
+        t_outs, count = [], 0
+        for batch in loader:
+            t_outs.append(batch.mels.shape[2])
+            count += batch.text.shape[0]
+        return float(np.mean(t_outs)), count
+
+    mean_unpooled, n1 = epoch_stats(1)
+    mean_pooled, n2 = epoch_stats(8)
+    assert n1 == n2 == 256
+    assert mean_pooled < mean_unpooled * 0.85, (mean_pooled, mean_unpooled)
