@@ -105,8 +105,13 @@ class Decoder(nn.Module):
         D = self.memory_dim
         P, A, R, M = (hp.prenet_dim, hp.attention_rnn_dim, hp.decoder_rnn_dim,
                       hp.n_mel_channels)
+        # n_frames_per_step=k emits k mel frames per recurrence step — the
+        # reference declares it (hparams.py:71, model.py:248-267) but only
+        # supports 1; here it is a first-class throughput lever (k x fewer
+        # sequential scan steps, the dominant cost on TPU).
+        K = getattr(hp, "n_frames_per_step", 1)
         xavier = xavier_uniform
-        self.prenet_w0 = self.param("prenet_w0", xavier("linear"), (M, P))
+        self.prenet_w0 = self.param("prenet_w0", xavier("linear"), (M * K, P))
         self.prenet_w1 = self.param("prenet_w1", xavier("linear"), (P, P))
         self.attention_rnn = LSTMParams(*self.param(
             "attention_rnn", lambda k: lstm_params_init(k, P + D, A)))
@@ -124,8 +129,8 @@ class Decoder(nn.Module):
             (hp.attention_location_n_filters, hp.attention_dim))
         self.decoder_rnn = LSTMParams(*self.param(
             "decoder_rnn", lambda k: lstm_params_init(k, A + D, R)))
-        self.proj_w = self.param("proj_w", xavier("linear"), (R + D, M))
-        self.proj_b = self.param("proj_b", nn.initializers.zeros, (M,))
+        self.proj_w = self.param("proj_w", xavier("linear"), (R + D, M * K))
+        self.proj_b = self.param("proj_b", nn.initializers.zeros, (M * K,))
         self.gate_w = self.param("gate_w", xavier("sigmoid"), (R + D, 1))
         self.gate_b = self.param("gate_b", nn.initializers.zeros, (1,))
 
@@ -212,23 +217,29 @@ class Decoder(nn.Module):
         hp = self.hp
         B, T_in, _ = memory.shape
         T_out = mels.shape[2]
+        K = getattr(hp, "n_frames_per_step", 1)
+        assert T_out % K == 0, "collate pads T_out to an n_frames multiple"
+        steps = T_out // K
         mask = get_mask_from_lengths(memory_lengths, T_in)
         processed_memory = memory @ self.memory_w
         loc_kernel = self._merged_location_kernel()
 
-        # Teacher-forced inputs: go frame + all-but-last target frames.
+        # Teacher-forced inputs: go group + all-but-last K-frame groups
+        # (reference parse_decoder_inputs, model.py:329-347).
+        groups = mels.transpose(0, 2, 1).reshape(B, steps,
+                                                 K * hp.n_mel_channels)
         frames = jnp.concatenate(
-            [jnp.zeros((B, hp.n_mel_channels, 1), mels.dtype), mels[:, :, :-1]],
-            axis=2).transpose(2, 0, 1)  # (T_out, B, n_mel)
+            [jnp.zeros((B, 1, K * hp.n_mel_channels), mels.dtype),
+             groups[:, :-1]], axis=1).transpose(1, 0, 2)  # (steps, B, K*M)
 
         # Prenet + attention-RNN input projection, hoisted out of the scan.
         k_pre, k_scan = jax.random.split(dropout_rng)
-        prenet_out = self._prenet(frames, k_pre)  # (T_out, B, P)
+        prenet_out = self._prenet(frames, k_pre)  # (steps, B, P)
         P = hp.prenet_dim
         attn_in_proj = (prenet_out @ self.attention_rnn.w_ih[:P]
-                        + self.attention_rnn.b)  # (T_out, B, 4A)
+                        + self.attention_rnn.b)  # (steps, B, 4A)
 
-        keys = jax.random.split(k_scan, T_out)
+        keys = jax.random.split(k_scan, steps)
 
         def step(carry, xs):
             proj_t, key_t = xs
@@ -242,13 +253,17 @@ class Decoder(nn.Module):
             step, self._init_state(memory), (attn_in_proj, keys),
             unroll=getattr(self.hp, "scan_unroll", 1))
 
-        # Output projections hoisted: (T_out, B, R + D) in two big matmuls.
+        # Output projections hoisted: (steps, B, R + D) in two big matmuls.
         hidden_ctx = jnp.concatenate([dec_hs, contexts], axis=-1)
-        mel_out = hidden_ctx @ self.proj_w + self.proj_b  # (T_out, B, n_mel)
-        gate_out = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]  # (T,B)
+        mel_out = hidden_ctx @ self.proj_w + self.proj_b  # (steps, B, K*M)
+        gate_out = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]  # (S,B)
 
-        return (mel_out.transpose(1, 2, 0), gate_out.T,
-                attn_ws.transpose(1, 0, 2))
+        mel_bmt = mel_out.transpose(1, 0, 2).reshape(
+            B, T_out, hp.n_mel_channels).transpose(0, 2, 1)
+        # Gate energies repeat over each step's K frames so the loss and
+        # parse_output masking stay frame-level for every K.
+        gate_bt = jnp.repeat(gate_out.T, K, axis=1)
+        return mel_bmt, gate_bt, attn_ws.transpose(1, 0, 2)
 
     # -- free-running inference ---------------------------------------------
     def infer(self, memory, dropout_rng, max_steps: Optional[int] = None):
