@@ -163,7 +163,10 @@ def collate(samples, hp, text_buckets=None, mel_buckets=None) -> Batch:
     """Pad a list of (text_ids, mel, speaker, emotions) to bucket shapes."""
     text_buckets = text_buckets or hp.text_buckets
     mel_buckets = mel_buckets or hp.mel_buckets
-    W = max(hp.discriminator_window, hp.n_frames_per_step)
+    import math
+
+    # T_out must be a multiple of BOTH the GAN window and n_frames_per_step.
+    W = math.lcm(hp.discriminator_window, max(hp.n_frames_per_step, 1))
 
     B = len(samples)
     max_t = max(len(s[0]) for s in samples)

@@ -30,7 +30,15 @@ def tacotron2_loss(model_output, targets, input_lengths, output_lengths):
     mel_out, mel_out_postnet, gate_out, alignments = model_output
     mel_loss = mse(mel_out, mel_target) + mse(mel_out_postnet, mel_target)
     gate_loss = bce_with_logits(gate_out, gate_target)
-    attn_loss = attention_loss(alignments, input_lengths, output_lengths)
+    # With n_frames_per_step=K the alignment time axis is decoder steps
+    # (T_out/K rows); guide the diagonal in step units.
+    steps = alignments.shape[1]
+    T = mel_target.shape[2]
+    dec_lengths = output_lengths
+    if steps != T:
+        k = T // steps
+        dec_lengths = (output_lengths + k - 1) // k
+    attn_loss = attention_loss(alignments, input_lengths, dec_lengths)
     return mel_loss, gate_loss, attn_loss
 
 

@@ -275,13 +275,14 @@ class Decoder(nn.Module):
         hp = self.hp
         B, T_in, _ = memory.shape
         S = max_steps or hp.max_decoder_steps
+        K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
         loc_kernel = self._merged_location_kernel()
         P = hp.prenet_dim
 
         keys = jax.random.split(dropout_rng, S)
         state0 = self._init_state(memory)
-        prev0 = jnp.zeros((B, hp.n_mel_channels), memory.dtype)
+        prev0 = jnp.zeros((B, K * hp.n_mel_channels), memory.dtype)
         finished0 = jnp.zeros((B,), bool)
         length0 = jnp.full((B,), S, jnp.int32)
 
@@ -314,8 +315,11 @@ class Decoder(nn.Module):
             step, (state0, prev0, finished0, length0, jnp.int32(0)), keys,
             unroll=getattr(self.hp, "scan_unroll", 1))
 
-        return (mels.transpose(1, 2, 0), gates.T, attn_ws.transpose(1, 0, 2),
-                lengths)
+        # (S, B, K*M) -> (B, M, S*K); step-level gates/lengths -> frame-level.
+        mel_bmt = mels.transpose(1, 0, 2).reshape(
+            B, S * K, hp.n_mel_channels).transpose(0, 2, 1)
+        return (mel_bmt, jnp.repeat(gates.T, K, axis=1),
+                attn_ws.transpose(1, 0, 2), lengths * K)
 
     def infer_early_exit(self, memory, dropout_rng,
                          max_steps: Optional[int] = None):
@@ -328,6 +332,7 @@ class Decoder(nn.Module):
         hp = self.hp
         B, T_in, _ = memory.shape
         S = max_steps or hp.max_decoder_steps
+        K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
         loc_kernel = self._merged_location_kernel()
         P = hp.prenet_dim
@@ -336,10 +341,10 @@ class Decoder(nn.Module):
         # Same per-step key derivation as the scan path so both modes
         # produce identical decodes for a given rng.
         keys = jax.random.split(dropout_rng, S)
-        mels0 = jnp.zeros((S, B, hp.n_mel_channels), memory.dtype)
+        mels0 = jnp.zeros((S, B, K * hp.n_mel_channels), memory.dtype)
         gates0 = jnp.zeros((S, B), memory.dtype)
         attn0 = jnp.zeros((S, B, T_in), memory.dtype)
-        prev0 = jnp.zeros((B, hp.n_mel_channels), memory.dtype)
+        prev0 = jnp.zeros((B, K * hp.n_mel_channels), memory.dtype)
         finished0 = jnp.zeros((B,), bool)
         length0 = jnp.full((B,), S, jnp.int32)
 
@@ -375,8 +380,10 @@ class Decoder(nn.Module):
         (_, _, _, lengths, _, mels, gates, attns) = jax.lax.while_loop(
             cond, body, (state0, prev0, finished0, length0, jnp.int32(0),
                          mels0, gates0, attn0))
-        return (mels.transpose(1, 2, 0), gates.T, attns.transpose(1, 0, 2),
-                lengths)
+        mel_bmt = mels.transpose(1, 0, 2).reshape(
+            B, S * K, hp.n_mel_channels).transpose(0, 2, 1)
+        return (mel_bmt, jnp.repeat(gates.T, K, axis=1),
+                attns.transpose(1, 0, 2), lengths * K)
 
 
 class Tacotron2(nn.Module):

@@ -205,3 +205,49 @@ def test_inference_early_exit_matches_scan():
     assert int(out_wl[4][0]) == L
     np.testing.assert_allclose(np.asarray(out_scan[0])[0, :, :L],
                                np.asarray(out_wl[0])[0, :, :L], atol=1e-4)
+
+
+def test_n_frames_per_step_2():
+    """K frames per decoder step (reference declares n_frames_per_step,
+    hparams.py:71, but only supports 1): frame-level output shapes, masking
+    and losses must be unchanged; the alignment has T_out/K rows."""
+    from gantron_tpu.losses import tacotron2_loss
+
+    hp = tiny_hp(n_frames_per_step=2)
+    batch = make_batch(hp)  # T_out=24, divisible by 2
+    model, variables, out = init_and_apply(hp, batch)
+    mel, mel_post, gates, align = out
+    B, T_in, T_out = 2, 11, 24
+    assert mel.shape == (B, hp.n_mel_channels, T_out)
+    assert mel_post.shape == (B, hp.n_mel_channels, T_out)
+    assert gates.shape == (B, T_out)
+    assert align.shape == (B, T_out // 2, T_in)
+    # Gate energies repeat within each 2-frame group (one energy per step).
+    np.testing.assert_array_equal(np.asarray(gates)[:, 0::2][:, :-1],
+                                  np.asarray(gates)[:, 1::2][:, :-1])
+    # parse_output masking still frame-level.
+    ol = np.asarray(batch[5])
+    assert np.all(np.asarray(mel)[1, :, ol[1]:] == 0)
+
+    text, tl, mels, spk, emo, ol_, gate = batch
+    losses = tacotron2_loss(out, (mels, gate), tl, ol_)
+    assert all(np.isfinite(float(l)) for l in losses)
+
+
+def test_n_frames_per_step_2_inference():
+    hp = tiny_hp(n_frames_per_step=2, max_decoder_steps=12)
+    batch = make_batch(hp)
+    model, variables, _ = init_and_apply(hp, batch)
+    text = batch[0][:1]
+    rngs = {"dropout": jax.random.PRNGKey(5), "noise": jax.random.PRNGKey(6)}
+    out = model.apply(variables, text, method=model.infer, rngs=rngs)
+    mel, mel_post, gates, align, lengths = out
+    assert mel.shape == (1, hp.n_mel_channels, 24)  # 12 steps * K=2 frames
+    assert gates.shape == (1, 24)
+    assert align.shape == (1, 12, text.shape[1])
+    assert int(lengths[0]) % 2 == 0  # frame lengths are step multiples
+
+    out_ee = model.apply(variables, text, method=model.infer,
+                         rngs=rngs, early_exit=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out_ee[0]),
+                               atol=2e-5)
