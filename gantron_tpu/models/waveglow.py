@@ -100,32 +100,69 @@ class WaveGlow:
         # MB for WaveGlow), bloating compile payloads.
         self._infer = jax.jit(self._infer_impl)
 
-    def infer(self, mel, sigma=0.666, key=None):
-        """mel: (B, n_mel, T) log-mel -> audio (B, T*hop)."""
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        return self._infer(self.params, mel, key, jnp.float32(sigma))
+    def n_groups(self, n_mel_frames: int) -> int:
+        """Grouped time steps Tg for a T-frame mel (after upsample trim)."""
+        cfg = self.cfg
+        L = (n_mel_frames - 1) * cfg.upsample_stride + cfg.upsample_kernel
+        L -= cfg.upsample_kernel - cfg.upsample_stride
+        return L // cfg.n_group
 
-    def _infer_impl(self, p, mel, key, sigma):
+    def z_shapes(self, n_mel_frames: int):
+        """Latent shapes in consumption order: [init, early@k for k in
+        reversed flows where k % n_early_every == 0 and k > 0]."""
+        cfg = self.cfg
+        Tg = self.n_groups(n_mel_frames)
+        shapes = [(Tg, cfg.remaining_channels(cfg.n_flows - 1))]
+        for k in reversed(range(cfg.n_flows)):
+            if k % cfg.n_early_every == 0 and k > 0:
+                shapes.append((Tg, cfg.n_early_size))
+        return shapes
+
+    def draw_z(self, key, batch, n_mel_frames, sigma=1.0):
+        zs = []
+        for shape in self.z_shapes(n_mel_frames):
+            key, sub = jax.random.split(key)
+            zs.append(sigma * jax.random.normal(sub, (batch,) + shape))
+        return zs
+
+    def infer(self, mel, sigma=0.666, key=None, z=None):
+        """mel: (B, n_mel, T) log-mel -> audio (B, T*hop).
+
+        ``z``: optional pre-drawn latents (see ``z_shapes``; unit variance —
+        they are scaled by ``sigma`` here). Drawn from ``key`` when absent.
+        The reference consumes WaveGlow as ``model.infer(mel, sigma=0.666)``
+        (utils.py:217-223); z injection enables deterministic parity tests.
+        """
+        if z is None:
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            z = self.draw_z(key, mel.shape[0], mel.shape[2])
+        return self._infer(self.params, mel, z, jnp.float32(sigma))
+
+    def _spect_features(self, p, mel):
+        """Upsample + group the conditioning mel: (B, Tg, n_group*n_mel)."""
         cfg = self.cfg
         B = mel.shape[0]
-
         spect = _conv_transpose1d(mel.transpose(0, 2, 1), p["upsample_w"],
                                   p["upsample_b"], cfg.upsample_stride)
         cut = cfg.upsample_kernel - cfg.upsample_stride
         spect = spect[:, : spect.shape[1] - cut]  # (B, L, n_mel)
-        L = spect.shape[1]
-        Tg = L // cfg.n_group
+        Tg = spect.shape[1] // cfg.n_group
         spect = spect[:, : Tg * cfg.n_group]
         # (B, Tg, n_group, n_mel) -> features ordered mel-major like the
         # torch unfold+permute (mel channel varies slowest).
         spect = spect.reshape(B, Tg, cfg.n_group, cfg.n_mel_channels)
         spect = spect.transpose(0, 1, 3, 2).reshape(
             B, Tg, cfg.n_group * cfg.n_mel_channels)
+        return spect, Tg
 
-        n_remaining = cfg.remaining_channels(cfg.n_flows - 1)
-        key, sub = jax.random.split(key)
-        audio = sigma * jax.random.normal(sub, (B, Tg, n_remaining))
+    def _infer_impl(self, p, mel, z, sigma):
+        cfg = self.cfg
+        B = mel.shape[0]
+        spect, Tg = self._spect_features(p, mel)
+
+        z_iter = iter(z)
+        audio = sigma * next(z_iter)
 
         for k in reversed(range(cfg.n_flows)):
             n_half = audio.shape[2] // 2
@@ -139,12 +176,41 @@ class WaveGlow:
             # Inverse 1x1 conv: right-multiply by W^{-1}.
             audio = audio @ p["convinv_inv"][k]
             if k % cfg.n_early_every == 0 and k > 0:
-                key, sub = jax.random.split(key)
-                z = sigma * jax.random.normal(
-                    sub, (B, Tg, cfg.n_early_size), audio.dtype)
-                audio = jnp.concatenate([z, audio], axis=2)
+                audio = jnp.concatenate([sigma * next(z_iter), audio],
+                                        axis=2)
 
         return audio.reshape(B, Tg * cfg.n_group)
+
+    def forward(self, audio, mel):
+        """Training-direction flow (audio -> latents), the exact inverse of
+        ``infer``: used to validate full-graph invertibility and checkpoint
+        conversion. Returns latents in ``z_shapes`` consumption order
+        (unit-sigma convention: pass them back via ``infer(..., sigma=1.0)``).
+        Not jitted — a validation path, not a serving path.
+        """
+        cfg = self.cfg
+        p = self.params
+        B = audio.shape[0]
+        spect, Tg = self._spect_features(p, mel)
+        x = audio[:, : Tg * cfg.n_group].reshape(B, Tg, cfg.n_group)
+
+        early = []
+        for k in range(cfg.n_flows):
+            if k % cfg.n_early_every == 0 and k > 0:
+                early.append(x[..., : cfg.n_early_size])
+                x = x[..., cfg.n_early_size :]
+            # Forward 1x1 conv: undo the stored inverse.
+            W = jnp.asarray(np.linalg.inv(np.asarray(p["convinv_inv"][k])))
+            x = x @ W
+            n_half = x.shape[2] // 2
+            x0 = x[..., :n_half]
+            x1 = x[..., n_half:]
+            output = _wn_forward(p["wn"][k], x0, spect, cfg)
+            b = output[..., :n_half]
+            s = output[..., n_half:]
+            x = jnp.concatenate([x0, x1 * jnp.exp(s) + b], axis=2)
+
+        return [x] + list(reversed(early))
 
 
 def _fold_weight_norm(v, g):

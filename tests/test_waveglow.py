@@ -72,19 +72,140 @@ def test_infer_shapes_and_finite():
     assert np.all(np.isfinite(np.asarray(audio)))
 
 
-def test_infer_inverts_forward_flow():
-    """Run OUR forward direction of the flow in numpy and check infer
-    recovers the audio from the produced latents (structural invertibility
-    of the coupling + convinv implementation)."""
+def test_full_graph_roundtrip():
+    """audio -> forward flow -> latents -> infer == audio: validates every
+    coupling layer, invertible 1x1 and early-output split of the FULL graph
+    against each other (nonzero latents, random weights)."""
     cfg = small_cfg()
     params = random_params(jax.random.PRNGKey(2), cfg)
     wg = WaveGlow(cfg, params)
 
-    # Monkeypatch randomness: run infer with sigma=0, so all injected z are
-    # zero; then forward of the result should give zero latents.
-    mel = jnp.asarray(np.random.RandomState(1).randn(1, 8, 12), jnp.float32)
-    audio = wg.infer(mel, sigma=0.0, key=jax.random.PRNGKey(3))
-    assert np.all(np.isfinite(np.asarray(audio)))
+    rng = np.random.RandomState(1)
+    mel = jnp.asarray(rng.randn(2, 8, 12), jnp.float32)
+    Tg = wg.n_groups(12)
+    audio = jnp.asarray(rng.randn(2, Tg * cfg.n_group) * 0.3, jnp.float32)
+
+    z = wg.forward(audio, mel)
+    assert [tuple(zi.shape[1:]) for zi in z] == wg.z_shapes(12)
+    rec = wg.infer(mel, sigma=1.0, z=z)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(audio),
+                               atol=2e-4)
+
+
+def _nvidia_style_state_dict(cfg, seed=0):
+    """Random weights in the NVIDIA WaveGlow checkpoint naming."""
+    rng = np.random.RandomState(seed)
+    r = lambda *s: (rng.randn(*s) * 0.1).astype(np.float32)
+    sd = {"upsample.weight": r(cfg.n_mel_channels, cfg.n_mel_channels,
+                               cfg.upsample_kernel),
+          "upsample.bias": r(cfg.n_mel_channels)}
+    D = cfg.n_mel_channels * cfg.n_group
+    for k in range(cfg.n_flows):
+        c = cfg.remaining_channels(k)
+        n_half = c // 2
+        n = cfg.n_channels
+        q = np.linalg.qr(rng.randn(c, c))[0].astype(np.float32)
+        sd[f"convinv.{k}.conv.weight"] = q[:, :, None]
+        sd[f"WN.{k}.start.weight"] = r(n, n_half, 1)
+        sd[f"WN.{k}.start.bias"] = r(n)
+        sd[f"WN.{k}.end.weight"] = r(2 * n_half, n, 1)
+        sd[f"WN.{k}.end.bias"] = r(2 * n_half)
+        sd[f"WN.{k}.cond_layer.weight"] = r(2 * n * cfg.n_layers, D, 1)
+        sd[f"WN.{k}.cond_layer.bias"] = r(2 * n * cfg.n_layers)
+        for i in range(cfg.n_layers):
+            sd[f"WN.{k}.in_layers.{i}.weight"] = r(2 * n, n, cfg.kernel_size)
+            sd[f"WN.{k}.in_layers.{i}.bias"] = r(2 * n)
+            out_c = 2 * n if i < cfg.n_layers - 1 else n
+            sd[f"WN.{k}.res_skip_layers.{i}.weight"] = r(out_c, n, 1)
+            sd[f"WN.{k}.res_skip_layers.{i}.bias"] = r(out_c)
+    return sd
+
+
+def _torch_waveglow_infer(sd, cfg, mel_np, z_list, sigma):
+    """Full-graph torch oracle transcribing the published NVIDIA glow.py
+    inference semantics (upsample -> unfold/permute -> reversed affine
+    coupling + inverse 1x1 + early-z concat), using real torch kernels.
+    The reference consumes this graph via torch.load(...)["model"].infer
+    (reference utils.py:217-223); its WaveGlow submodule is empty, so this
+    transcription is the closest available torch oracle."""
+    F = torch.nn.functional
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    mel = t(mel_np)
+    spect = F.conv_transpose1d(mel, t(sd["upsample.weight"]),
+                               t(sd["upsample.bias"]),
+                               stride=cfg.upsample_stride)
+    cut = cfg.upsample_kernel - cfg.upsample_stride
+    spect = spect[:, :, : spect.size(2) - cut]
+    spect = spect.unfold(2, cfg.n_group, cfg.n_group).permute(0, 2, 1, 3)
+    spect = spect.contiguous().view(
+        spect.size(0), spect.size(1), -1).permute(0, 2, 1)
+    # (B, n_mel*n_group, Tg)
+
+    def wn(k, audio_0):
+        n = cfg.n_channels
+        x = F.conv1d(audio_0, t(sd[f"WN.{k}.start.weight"]),
+                     t(sd[f"WN.{k}.start.bias"]))
+        cond = F.conv1d(spect, t(sd[f"WN.{k}.cond_layer.weight"]),
+                        t(sd[f"WN.{k}.cond_layer.bias"]))
+        output = torch.zeros_like(x)
+        for i in range(cfg.n_layers):
+            dil = 2 ** i
+            pad = dil * (cfg.kernel_size - 1) // 2
+            acts = F.conv1d(x, t(sd[f"WN.{k}.in_layers.{i}.weight"]),
+                            t(sd[f"WN.{k}.in_layers.{i}.bias"]),
+                            dilation=dil, padding=pad)
+            c = cond[:, 2 * n * i : 2 * n * (i + 1)]
+            z = torch.tanh(acts[:, :n] + c[:, :n]) * torch.sigmoid(
+                acts[:, n:] + c[:, n:])
+            res_skip = F.conv1d(
+                z, t(sd[f"WN.{k}.res_skip_layers.{i}.weight"]),
+                t(sd[f"WN.{k}.res_skip_layers.{i}.bias"]))
+            if i < cfg.n_layers - 1:
+                x = x + res_skip[:, :n]
+                output = output + res_skip[:, n:]
+            else:
+                output = output + res_skip
+        return F.conv1d(output, t(sd[f"WN.{k}.end.weight"]),
+                        t(sd[f"WN.{k}.end.bias"]))
+
+    z_iter = iter(z_list)
+    audio = sigma * t(next(z_iter)).permute(0, 2, 1)  # (B, C, Tg)
+    for k in reversed(range(cfg.n_flows)):
+        n_half = audio.size(1) // 2
+        audio_0 = audio[:, :n_half]
+        audio_1 = audio[:, n_half:]
+        output = wn(k, audio_0)
+        b = output[:, :n_half]
+        s = output[:, n_half:]
+        audio_1 = (audio_1 - b) / torch.exp(s)
+        audio = torch.cat([audio_0, audio_1], 1)
+        W = t(sd[f"convinv.{k}.conv.weight"])  # (C, C, 1)
+        audio = F.conv1d(audio, torch.linalg.inv(W.squeeze(-1))[:, :, None])
+        if k % cfg.n_early_every == 0 and k > 0:
+            audio = torch.cat(
+                [sigma * t(next(z_iter)).permute(0, 2, 1), audio], 1)
+    return audio.permute(0, 2, 1).contiguous().view(
+        audio.size(0), -1).numpy()
+
+
+def test_full_graph_parity_vs_torch_oracle():
+    """Full-graph WaveGlow inference vs the torch oracle with INJECTED z
+    and shared converted weights (VERDICT r1 item 10)."""
+    cfg = small_cfg()
+    sd = _nvidia_style_state_dict(cfg)
+    wg = WaveGlow(cfg, convert_torch_state_dict(sd, cfg))
+
+    rng = np.random.RandomState(3)
+    mel = (rng.randn(2, cfg.n_mel_channels, 12) * 0.5).astype(np.float32)
+    z_list = [rng.randn(2, *shape).astype(np.float32)
+              for shape in wg.z_shapes(12)]
+
+    ours = np.asarray(wg.infer(jnp.asarray(mel), sigma=0.8,
+                               z=[jnp.asarray(z) for z in z_list]))
+    with torch.no_grad():
+        ref = _torch_waveglow_infer(sd, cfg, mel, z_list, 0.8)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
 def test_convert_torch_state_dict_weightnorm():
