@@ -328,8 +328,10 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                                     media_dir=os.path.join(output_directory,
                                                            "media"),
                                     vocoder=vocoder)
-                ckpt.save(jax.device_get(state), iteration, val_loss,
-                          extra={"g_lr": g_lr, "d_lr": d_lr})
+                path = ckpt.save(jax.device_get(state), iteration,
+                                 val_loss, extra={"g_lr": g_lr,
+                                                  "d_lr": d_lr})
+                logger.save_file(path)
                 validated_at = iteration
 
             if (hp.reduce_lr_steps_every > 0
@@ -348,8 +350,10 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                         logger, hp.attn_steps,
                         media_dir=os.path.join(output_directory, "media"),
                         vocoder=vocoder)
-                    ckpt.save(jax.device_get(state), iteration, val_loss,
-                              extra={"g_lr": g_lr, "d_lr": d_lr})
+                    path = ckpt.save(jax.device_get(state), iteration,
+                                     val_loss, extra={"g_lr": g_lr,
+                                                      "d_lr": d_lr})
+                    logger.save_file(path)
                 return state, iteration
     flush_log()
     return state, iteration

@@ -170,6 +170,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.d_params)
+        aux["discriminator_grad_norm"] = optax.global_norm(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)
         updates = jax.tree.map(lambda u: -d_lr * u, updates)

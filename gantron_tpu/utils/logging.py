@@ -102,6 +102,15 @@ class MetricLogger:
         if media and self._wandb is not None:
             self._wandb.log(media, step=step)
 
+    def save_file(self, path: str):
+        """Checkpoint upload hook (reference train.py:455-465 wandb.save).
+        No-op without wandb."""
+        if self._wandb is not None:
+            try:
+                self._wandb.save(path)
+            except (OSError, ValueError):
+                pass
+
     def close(self):
         if self._file is not None:
             self._file.close()
