@@ -95,3 +95,65 @@ def save_tsne_plot(embedded, labels, save_path, n_clusters=6):
     fig.colorbar(scatter, ax=ax)
     fig.savefig(save_path, dpi=300)
     plt.close(fig)
+
+
+def load_mels_by_emotion_dir(base_path, mel_fn=None):
+    """Reference check_kmeans.py:12-50 loader: each subdirectory of
+    ``base_path`` is an emotion class containing .wav (mel extracted and
+    cached to .npy beside it) or pre-dumped .npy mels. Returns (flattened
+    matrix (N, n_mel*min_len), class-id array, class names)."""
+    full_mels, class_ids, names = [], [], []
+    min_len = float("inf")
+    max_val = 0.0
+    for em_id, emotion in enumerate(sorted(os.listdir(base_path))):
+        em_dir = os.path.join(base_path, emotion)
+        if "." in emotion or not os.path.isdir(em_dir):
+            continue
+        names.append(emotion)
+        for path in sorted(os.listdir(em_dir)):
+            full = os.path.join(em_dir, path)
+            stem, ext = os.path.splitext(full)
+            if ext == ".npy":
+                mel = np.load(full, allow_pickle=True)
+            elif ext == ".wav" and not os.path.exists(stem + ".npy"):
+                from gantron_tpu.data.wav import load_wav
+
+                mel = np.asarray(mel_fn(load_wav(full)[None]))[0]
+                try:
+                    np.save(stem + ".npy", mel)
+                except OSError:
+                    pass
+            else:
+                continue
+            if mel.ndim == 3:
+                mel = mel[0]
+            min_len = min(min_len, mel.shape[1])
+            max_val = max(max_val, abs(float(mel.min())),
+                          abs(float(mel.max())))
+            full_mels.append(mel)
+            class_ids.append(len(names) - 1)
+    if not full_mels:
+        return np.zeros((0, 0)), np.zeros((0,), int), names
+    min_len = int(min_len)
+    mels = np.stack([m[:, :min_len].flatten() / max_val for m in full_mels])
+    return mels, np.asarray(class_ids), names
+
+
+def check_kmeans_accuracy(mels, class_ids, n_clusters=None, n_init=30,
+                          seed=0):
+    """Reference check_kmeans.py:60-75: k-means fit, then basic accuracy and
+    the best accuracy over all cluster->class label permutations."""
+    from sklearn.cluster import KMeans
+
+    unique = np.unique(class_ids)
+    k = n_clusters or len(unique)
+    kmeans = KMeans(n_clusters=k, random_state=seed, n_init=n_init).fit(mels)
+    y = kmeans.labels_
+    basic_acc = float(np.mean(y == class_ids))
+    best_acc, best_perm = 0.0, None
+    for perm in itertools.permutations(range(k)):
+        mapped = np.asarray(perm)[class_ids]
+        acc = float(np.mean(y == mapped))
+        if acc > best_acc:
+            best_acc, best_perm = acc, perm
+    return basic_acc, best_acc, best_perm

@@ -125,3 +125,31 @@ def test_clustering_roundtrip(tmp_path):
     assert acc >= 0.9  # well-separated synthetic groups
     labels, centers, emb = run_clustering(mels, n_clusters=2)
     assert len(labels) == 20 and centers.shape[0] == 2
+
+
+def test_check_kmeans_emotion_dirs(tmp_path):
+    """Reference check_kmeans.py surface: per-emotion subdirectories of
+    wavs, k-means separability with permutation-matched accuracy."""
+    import numpy as np
+
+    from gantron_tpu.audio.mel import MelSpectrogram
+    from gantron_tpu.data.toy import synth_utterance
+    from gantron_tpu.data.wav import write_wav
+    from gantron_tpu.eval.clustering import (check_kmeans_accuracy,
+                                             load_mels_by_emotion_dir)
+
+    rng = np.random.RandomState(0)
+    for emotion, chars in [("calm", "aeiou"), ("tense", "mnst")]:
+        d = tmp_path / emotion
+        d.mkdir()
+        for i in range(5):
+            text = "".join(rng.choice(list(chars)) for _ in range(6))
+            write_wav(str(d / f"{i}.wav"), synth_utterance(text, rng))
+
+    mels, class_ids, names = load_mels_by_emotion_dir(
+        str(tmp_path), mel_fn=MelSpectrogram())
+    assert names == ["calm", "tense"] and len(mels) == 10
+    # .npy caches written beside the wavs (reference check_kmeans.py:30-31).
+    assert (tmp_path / "calm" / "0.npy").exists()
+    basic, best, perm = check_kmeans_accuracy(mels, class_ids)
+    assert best >= 0.9  # disjoint tone bands must separate
