@@ -158,6 +158,12 @@ class HParams:
     # on v5e (fewer loop iterations, cross-step fusion) at the cost of longer
     # compiles. Tests use 1-2 for fast compilation.
     scan_unroll: int = 8
+    # Defer the decoder scan's big weight gradients (LSTM matrices, attention
+    # query projection) to post-scan batched matmuls instead of per-step
+    # accumulator updates inside the backward scan — ~28% of the G-step
+    # backward is that accumulator's HBM read-modify-write traffic. Exact
+    # (same grads as plain autodiff; verified by tests/test_deferred_dw.py).
+    deferred_dw: bool = True
 
     def __post_init__(self):
         if self.n_symbols == 0:

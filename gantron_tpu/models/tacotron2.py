@@ -18,7 +18,7 @@ Activations are channel-last internally; public outputs use the reference's
 (B, n_mel, T) layout.
 """
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -40,6 +40,28 @@ def get_mask_from_lengths(lengths, max_len):
 def _dropout(x, rate, key):
     keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+class ScanWeights(NamedTuple):
+    """Weights consumed inside the decoder scan step.
+
+    The big matrices (``wc``/``wh1``/``wq``/``w2ih``/``w2hh``) can enter the
+    scan under ``stop_gradient`` (deferred-dW mode): their gradients are then
+    reconstructed outside the scan as single batched matmuls from the per-step
+    gate cotangents, instead of a per-step read-modify-write of the full f32
+    gradient accumulators inside the backward scan (~28% of G-step backward
+    HBM traffic at production shapes). ``v``/``loc_kernel``/``b2`` are tiny
+    and stay on the normal autodiff path.
+    """
+
+    wc: jax.Array          # attention_rnn.w_ih[prenet_dim:] (context rows)
+    wh1: jax.Array         # attention_rnn.w_hh
+    wq: jax.Array          # query_w
+    v: jax.Array           # v_w
+    loc_kernel: jax.Array  # merged location conv+dense kernel
+    w2ih: jax.Array        # decoder_rnn.w_ih
+    w2hh: jax.Array        # decoder_rnn.w_hh
+    b2: jax.Array          # decoder_rnn.b
 
 
 class Encoder(nn.Module):
@@ -147,6 +169,21 @@ class Decoder(nn.Module):
         conv+matmul inside the scan (fewer per-step ops and residuals)."""
         return jnp.einsum("kcf,fa->kca", self.loc_conv_w, self.loc_dense_w)
 
+    def _scan_weights(self, stop_big: bool = False) -> ScanWeights:
+        """Bundle the in-scan weights; ``stop_big=True`` detaches the five
+        large matrices for deferred-dW training (values are unchanged)."""
+        P = self.hp.prenet_dim
+        sg = jax.lax.stop_gradient if stop_big else (lambda x: x)
+        return ScanWeights(
+            wc=sg(self.attention_rnn.w_ih[P:]),
+            wh1=sg(self.attention_rnn.w_hh),
+            wq=sg(self.query_w),
+            v=self.v_w,
+            loc_kernel=self._merged_location_kernel(),
+            w2ih=sg(self.decoder_rnn.w_ih),
+            w2hh=sg(self.decoder_rnn.w_hh),
+            b2=self.decoder_rnn.b)
+
     def _location(self, attn_w, attn_w_cum, loc_kernel):
         cat = jnp.stack([attn_w, attn_w_cum], axis=-1)  # (B, T_in, 2)
         return jax.lax.conv_general_dilated(
@@ -155,11 +192,14 @@ class Decoder(nn.Module):
             dimension_numbers=("NWC", "WIO", "NWC"))
 
     def _attend(self, attn_h, memory, processed_memory, attn_w, attn_w_cum,
-                mask, loc_kernel):
-        processed_query = (attn_h @ self.query_w)[:, None]  # (B, 1, att)
-        processed_loc = self._location(attn_w, attn_w_cum, loc_kernel)
+                mask, W: ScanWeights, zq=None):
+        processed_query = attn_h @ W.wq  # (B, att)
+        if zq is not None:
+            processed_query = processed_query + zq
+        processed_query = processed_query[:, None]  # (B, 1, att)
+        processed_loc = self._location(attn_w, attn_w_cum, W.loc_kernel)
         energies = jnp.tanh(processed_query + processed_loc
-                            + processed_memory) @ self.v_w  # (B, T_in, 1)
+                            + processed_memory) @ W.v  # (B, T_in, 1)
         energies = energies[..., 0]
         if mask is not None:
             energies = jnp.where(mask, energies, -jnp.inf)
@@ -176,12 +216,19 @@ class Decoder(nn.Module):
                 z(B, T_in), z(B, T_in), z(B, self.memory_dim))
 
     def _step_core(self, carry, attn_in_proj, key, memory, processed_memory,
-                   mask, train, loc_kernel):
-        """Shared per-frame math. ``attn_in_proj`` = prenet_t @ w_ih[:P] + b."""
+                   mask, train, W: ScanWeights, z1=None, z2=None, zq=None):
+        """Shared per-frame math. ``attn_in_proj`` = prenet_t @ w_ih[:P] + b.
+
+        ``z1``/``z2``/``zq`` are optional zero-valued gate offsets used by the
+        deferred-dW training path: adding a runtime zero is numerically exact
+        (even in bf16), and the cotangent of each offset IS that step's gate
+        gradient, which autodiff then emits as a cheap per-step scan output
+        instead of accumulating the full dW matrices step by step.
+        """
         attn_h, attn_c, dec_h, dec_c, attn_w, attn_w_cum, context = carry
-        P = self.hp.prenet_dim
-        rnn = self.attention_rnn
-        gates = (attn_in_proj + context @ rnn.w_ih[P:] + attn_h @ rnn.w_hh)
+        gates = attn_in_proj + context @ W.wc + attn_h @ W.wh1
+        if z1 is not None:
+            gates = gates + z1
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         attn_c = jax.nn.sigmoid(f) * attn_c + jax.nn.sigmoid(i) * jnp.tanh(g)
         attn_h = jax.nn.sigmoid(o) * jnp.tanh(attn_c)
@@ -190,13 +237,13 @@ class Decoder(nn.Module):
             attn_h = _dropout(attn_h, self.hp.p_attention_dropout, k0)
 
         context, attn_w_new = self._attend(attn_h, memory, processed_memory,
-                                           attn_w, attn_w_cum, mask,
-                                           loc_kernel)
+                                           attn_w, attn_w_cum, mask, W, zq)
         attn_w_cum = attn_w_cum + attn_w_new
 
-        rnn2 = self.decoder_rnn
         dec_in = jnp.concatenate([attn_h, context], axis=-1)
-        gates2 = dec_in @ rnn2.w_ih + dec_h @ rnn2.w_hh + rnn2.b
+        gates2 = dec_in @ W.w2ih + dec_h @ W.w2hh + W.b2
+        if z2 is not None:
+            gates2 = gates2 + z2
         i, f, g, o = jnp.split(gates2, 4, axis=-1)
         dec_c = jax.nn.sigmoid(f) * dec_c + jax.nn.sigmoid(i) * jnp.tanh(g)
         dec_h = jax.nn.sigmoid(o) * jnp.tanh(dec_c)
@@ -208,11 +255,18 @@ class Decoder(nn.Module):
 
     # -- teacher-forced training pass ---------------------------------------
     def __call__(self, memory, mels, memory_lengths, train: bool,
-                 dropout_rng):
+                 dropout_rng, dw_offsets=None):
         """memory: (B, T_in, D); mels: (B, n_mel, T_out) ground truth.
 
+        ``dw_offsets``: optional dict of zero-valued per-step gate offsets
+        {"z1": (steps, B, 4*attention_rnn_dim), "z2": (steps, B,
+        4*decoder_rnn_dim), "zq": (steps, B, attention_dim)} enabling the
+        deferred-dW backward (see ScanWeights). When given, the big in-scan
+        weights are detached and a fourth return value carries the per-step
+        activations needed to rebuild their gradients post-scan.
+
         Returns (mel_outputs (B, n_mel, T_out), gate_outputs (B, T_out),
-        alignments (B, T_out, T_in)).
+        alignments (B, T_out, T_in)) [, dw_aux].
         """
         hp = self.hp
         B, T_in, _ = memory.shape
@@ -222,7 +276,7 @@ class Decoder(nn.Module):
         steps = T_out // K
         mask = get_mask_from_lengths(memory_lengths, T_in)
         processed_memory = memory @ self.memory_w
-        loc_kernel = self._merged_location_kernel()
+        W = self._scan_weights(stop_big=dw_offsets is not None)
 
         # Teacher-forced inputs: go group + all-but-last K-frame groups
         # (reference parse_decoder_inputs, model.py:329-347).
@@ -241,16 +295,23 @@ class Decoder(nn.Module):
 
         keys = jax.random.split(k_scan, steps)
 
-        def step(carry, xs):
-            proj_t, key_t = xs
-            carry = self._step_core(carry, proj_t, key_t, memory,
-                                    processed_memory, mask, train,
-                                    loc_kernel)
-            dec_h, context, attn_w = carry[2], carry[6], carry[4]
-            return carry, (dec_h, context, attn_w)
+        if dw_offsets is None:
+            xs = (attn_in_proj, keys, None, None, None)
+        else:
+            xs = (attn_in_proj, keys, dw_offsets["z1"], dw_offsets["z2"],
+                  dw_offsets["zq"])
 
-        _, (dec_hs, contexts, attn_ws) = jax.lax.scan(
-            step, self._init_state(memory), (attn_in_proj, keys),
+        def step(carry, xs):
+            proj_t, key_t, z1_t, z2_t, zq_t = xs
+            carry = self._step_core(carry, proj_t, key_t, memory,
+                                    processed_memory, mask, train, W,
+                                    z1_t, z2_t, zq_t)
+            attn_h, dec_h, context, attn_w = (carry[0], carry[2], carry[6],
+                                              carry[4])
+            return carry, (attn_h, dec_h, context, attn_w)
+
+        _, (attn_hs, dec_hs, contexts, attn_ws) = jax.lax.scan(
+            step, self._init_state(memory), xs,
             unroll=getattr(self.hp, "scan_unroll", 1))
 
         # Output projections hoisted: (steps, B, R + D) in two big matmuls.
@@ -263,7 +324,14 @@ class Decoder(nn.Module):
         # Gate energies repeat over each step's K frames so the loss and
         # parse_output masking stay frame-level for every K.
         gate_bt = jnp.repeat(gate_out.T, K, axis=1)
-        return mel_bmt, gate_bt, attn_ws.transpose(1, 0, 2)
+        outs = (mel_bmt, gate_bt, attn_ws.transpose(1, 0, 2))
+        if dw_offsets is None:
+            return outs
+        # Per-step activations for the post-scan dW matmuls. Values only —
+        # gradients must not flow back through this side channel.
+        dw_aux = jax.lax.stop_gradient(
+            dict(attn_hs=attn_hs, dec_hs=dec_hs, contexts=contexts))
+        return outs + (dw_aux,)
 
     # -- free-running inference ---------------------------------------------
     def infer(self, memory, dropout_rng, max_steps: Optional[int] = None):
@@ -277,7 +345,7 @@ class Decoder(nn.Module):
         S = max_steps or hp.max_decoder_steps
         K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
-        loc_kernel = self._merged_location_kernel()
+        W = self._scan_weights()
         P = hp.prenet_dim
 
         keys = jax.random.split(dropout_rng, S)
@@ -293,8 +361,7 @@ class Decoder(nn.Module):
             prenet_t = self._prenet(prev, k_pre)
             proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
             state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False,
-                                    loc_kernel)
+                                    processed_memory, None, False, W)
             dec_h, context, attn_w = state[2], state[6], state[4]
             hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
             mel_t = hidden_ctx @ self.proj_w + self.proj_b
@@ -334,7 +401,7 @@ class Decoder(nn.Module):
         S = max_steps or hp.max_decoder_steps
         K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
-        loc_kernel = self._merged_location_kernel()
+        W = self._scan_weights()
         P = hp.prenet_dim
 
         state0 = self._init_state(memory)
@@ -359,8 +426,7 @@ class Decoder(nn.Module):
             proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
                       + self.attention_rnn.b)
             state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False,
-                                    loc_kernel)
+                                    processed_memory, None, False, W)
             dec_h, context, attn_w = state[2], state[6], state[4]
             hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
             mel_t = hidden_ctx @ self.proj_w + self.proj_b
@@ -476,12 +542,17 @@ class Tacotron2(nn.Module):
 
     # -- training forward ---------------------------------------------------
     def __call__(self, text, text_lengths, mels, speaker_ids, emotions,
-                 output_lengths, train: bool = True, style=None):
+                 output_lengths, train: bool = True, style=None,
+                 dw_offsets=None):
         """Teacher-forced forward (reference model.py:644-673).
 
         ``style``: optional (B, 1, noise_size) noise overriding the internal
         uniform draw — used for deterministic parity against the reference's
         ``torch.rand`` sites (model.py:187, 275) and reproducible training.
+
+        ``dw_offsets``: optional zero-valued gate offsets enabling the
+        decoder's deferred-dW backward (see Decoder.__call__); when given the
+        return value is (outputs, dw_aux).
 
         Returns [mel_outputs, mel_outputs_postnet, gate_outputs, alignments]
         with padded frames masked (mel -> 0, gate energy -> 1e3).
@@ -504,15 +575,19 @@ class Tacotron2(nn.Module):
             encoder_outputs, speaker_ids, emotions, k_noise_mem,
             None if hp.encoder_inputs else style)
 
-        mel_outputs, gate_outputs, alignments = self.decoder(
-            memory, mels, text_lengths, train, k_dec)
+        dec_out = self.decoder(memory, mels, text_lengths, train, k_dec,
+                               dw_offsets=dw_offsets)
+        mel_outputs, gate_outputs, alignments = dec_out[:3]
 
         post = self.postnet(mel_outputs.transpose(0, 2, 1), train, k_post)
         mel_outputs_postnet = mel_outputs + post.transpose(0, 2, 1)
 
-        return self.parse_output(
+        outputs = self.parse_output(
             [mel_outputs, mel_outputs_postnet, gate_outputs, alignments],
             output_lengths)
+        if dw_offsets is None:
+            return outputs
+        return outputs, dec_out[3]
 
     def parse_output(self, outputs, output_lengths=None):
         """Mask padded frames (reference model.py:632-642)."""

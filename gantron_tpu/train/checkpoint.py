@@ -19,7 +19,7 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
-_CKPT_RE = re.compile(r"iter=(\d+)_val-loss=([-\d.einf]+)\.ckpt")
+_CKPT_RE = re.compile(r"iter=(\d+)_val-loss=([-\d.einf]+)\.ckpt$")
 
 
 class CheckpointManager:

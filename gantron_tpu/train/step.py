@@ -56,6 +56,57 @@ def pad_mel_to_window(mel_bct, window):
     return mel_bct
 
 
+def make_dw_offsets(hp, batch_size, t_out, dtype):
+    """Zero-valued per-step gate offsets for the decoder's deferred-dW
+    backward (see models.tacotron2.ScanWeights)."""
+    steps = t_out // getattr(hp, "n_frames_per_step", 1)
+    z = lambda d: jnp.zeros((steps, batch_size, d), dtype)
+    return dict(z1=z(4 * hp.attention_rnn_dim), z2=z(4 * hp.decoder_rnn_dim),
+                zq=z(hp.attention_dim))
+
+
+def apply_deferred_dw(hp, grads, dw_aux, d_off):
+    """Fill in the gradients of the decoder's detached in-scan weights.
+
+    For each in-scan matmul ``gates_t = x_t @ W (+ ...)`` autodiff delivered
+    the per-step gate cotangents as ``d_off`` (the zero offsets' gradients);
+    dW is then exactly ``sum_t x_t^T dgates_t`` — one big (steps*B)-row MXU
+    matmul per weight instead of a read-modify-write of the full gradient
+    accumulator on every backward scan step. ``x_t`` values at step entry are
+    the previous step's emitted activations (zero at t=0), so everything is
+    recovered from the forward scan's outputs by a one-step shift.
+    """
+    attn_hs = dw_aux["attn_hs"]      # attn_h_t (post-dropout), (S, B, A)
+    dec_hs = dw_aux["dec_hs"]        # dec_h_t (post-dropout), (S, B, R)
+    contexts = dw_aux["contexts"]    # context_t, (S, B, D)
+    dz1, dz2, dzq = d_off["z1"], d_off["z2"], d_off["zq"]
+    P = hp.prenet_dim
+
+    def shift(x):  # value at step entry: previous step's output, 0 at t=0
+        return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+    def ein(x, dz):
+        return jnp.einsum("sbi,sbo->io", x, dz,
+                          preferred_element_type=jnp.float32)
+
+    dec = dict(grads["decoder"])
+    arn = dec["attention_rnn"]
+    dec["attention_rnn"] = arn._replace(
+        # rows [:P] (hoisted prenet projection) came from plain autodiff;
+        # rows [P:] are the in-scan context columns.
+        w_ih=arn.w_ih.at[P:].add(ein(shift(contexts), dz1)),
+        w_hh=arn.w_hh + ein(shift(attn_hs), dz1))
+    dec["query_w"] = dec["query_w"] + ein(attn_hs, dzq)
+    drn = dec["decoder_rnn"]
+    dec["decoder_rnn"] = drn._replace(
+        w_ih=drn.w_ih + jnp.concatenate(
+            [ein(attn_hs, dz2), ein(contexts, dz2)], axis=0),
+        w_hh=drn.w_hh + ein(shift(dec_hs), dz2))
+    out = dict(grads)
+    out["decoder"] = dec
+    return out
+
+
 def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
@@ -85,20 +136,24 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
             tree)
 
+    deferred_dw = bool(getattr(hp, "deferred_dw", False))
+
     # ---------------- generator ----------------
     def g_step(state, batch: Batch, g_lr, attn_weight):
         rng, k_drop, k_noise, k_disc = jax.random.split(state.rng, 4)
 
-        def loss_fn(g_params):
+        def loss_fn(g_params, dw_offsets):
             mels_in = (batch.mels.astype(jnp.bfloat16) if bf16
                        else batch.mels)
-            out, mutated = generator.apply(
+            result, mutated = generator.apply(
                 {"params": _cast_in(g_params),
                  "batch_stats": state.g_batch_stats},
                 batch.text, batch.text_lengths, mels_in, batch.speaker,
                 batch.emotions, batch.output_lengths, train=True,
+                dw_offsets=dw_offsets,
                 rngs={"dropout": k_drop, "noise": k_noise},
                 mutable=["batch_stats"])
+            out, dw_aux = result if dw_offsets is not None else (result, None)
             out = [o.astype(jnp.float32) for o in out]
             new_bs = jax.tree.map(lambda x: x.astype(jnp.float32),
                                   mutated["batch_stats"])
@@ -119,11 +174,22 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,
                        batch_stats=new_bs,
-                       generated_mel=out[1])
+                       generated_mel=out[1],
+                       dw_aux=dw_aux)
             return total, aux
 
-        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.g_params)
+        if deferred_dw:
+            offsets = make_dw_offsets(
+                hp, batch.mels.shape[0], batch.mels.shape[2],
+                jnp.bfloat16 if bf16 else jnp.float32)
+            total, vjp_fn, aux = jax.vjp(loss_fn, state.g_params, offsets,
+                                         has_aux=True)
+            grads, d_off = vjp_fn(jnp.ones_like(total))
+            grads = apply_deferred_dw(hp, grads, aux.pop("dw_aux"), d_off)
+        else:
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.g_params, None)
+            aux.pop("dw_aux")
         grad_norm = optax.global_norm(grads)
         updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
                                            state.g_params)
