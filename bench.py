@@ -36,19 +36,20 @@ WARMUP_CYCLES = 2
 TIMED_CYCLES = 8  # each cycle = 2 G steps + 1 D step
 
 
-def make_batch(hp, seed=0):
+def make_batch(hp, seed=0, B=None):
     from gantron_tpu.train.step import Batch
 
+    B = B or BATCH
     rng = np.random.RandomState(seed)
-    text = rng.randint(1, hp.n_symbols, (BATCH, T_IN)).astype(np.int32)
-    text_lengths = rng.randint(T_IN // 2, T_IN + 1, BATCH).astype(np.int32)
+    text = rng.randint(1, hp.n_symbols, (B, T_IN)).astype(np.int32)
+    text_lengths = rng.randint(T_IN // 2, T_IN + 1, B).astype(np.int32)
     text_lengths[0] = T_IN
-    mels = (rng.randn(BATCH, hp.n_mel_channels, T_OUT) * 1.5 - 6).astype(
+    mels = (rng.randn(B, hp.n_mel_channels, T_OUT) * 1.5 - 6).astype(
         np.float32)
-    output_lengths = rng.randint(T_OUT // 2, T_OUT + 1, BATCH).astype(np.int32)
+    output_lengths = rng.randint(T_OUT // 2, T_OUT + 1, B).astype(np.int32)
     output_lengths[0] = T_OUT
-    gate = np.zeros((BATCH, T_OUT), np.float32)
-    for b in range(BATCH):
+    gate = np.zeros((B, T_OUT), np.float32)
+    for b in range(B):
         mels[b, :, output_lengths[b]:] = 0
         gate[b, output_lengths[b] - 1:] = 1
     return Batch(

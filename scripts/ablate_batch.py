@@ -7,29 +7,10 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
-
-
-def make_batch(hp, B, T_in=128, T_out=640, seed=0):
-    from gantron_tpu.train.step import Batch
-
-    rng = np.random.RandomState(seed)
-    text = rng.randint(1, hp.n_symbols, (B, T_in)).astype(np.int32)
-    text_lengths = np.full((B,), T_in, np.int32)
-    mels = (rng.randn(B, hp.n_mel_channels, T_out) * 1.5 - 6).astype(
-        np.float32)
-    output_lengths = np.full((B,), T_out, np.int32)
-    gate = np.zeros((B, T_out), np.float32)
-    gate[:, -1] = 1
-    return Batch(
-        text=jnp.asarray(text), text_lengths=jnp.asarray(text_lengths),
-        mels=jnp.asarray(mels), gate=jnp.asarray(gate),
-        speaker=jnp.zeros((B,), jnp.int32),
-        emotions=jnp.zeros((B, 5), jnp.float32),
-        output_lengths=jnp.asarray(output_lengths))
+from bench import make_batch  # noqa: E402
 
 
 def main():
@@ -43,7 +24,7 @@ def main():
     for B in (32, 64, 128):
         hp = HParams.create(
             "use_labels=False,use_noise=True,fp16_run=True,deferred_dw=True")
-        batch = make_batch(hp, B)
+        batch = make_batch(hp, B=B)
         state, gen, disc, g_tx, d_tx = create_train_state(
             hp, jax.random.PRNGKey(0), tuple(batch))
         g_step = jax.jit(make_train_steps(hp, gen, disc, g_tx, d_tx)[0])

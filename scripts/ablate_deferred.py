@@ -6,8 +6,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+import os
 import sys
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 from bench import make_batch  # noqa: E402
 
 
