@@ -25,15 +25,18 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     Returns the process index (0 = chief, like the reference's rank 0).
     """
-    if jax.process_count() == 1 and (coordinator_address or num_processes):
+    # NOTE: nothing may touch the XLA backend (jax.devices/process_count/...)
+    # before jax.distributed.initialize, or the cluster can never form —
+    # exercised by tests/test_multihost.py with a real 2-process cluster.
+    explicit = coordinator_address is not None or num_processes is not None
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    elif jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except (ValueError, RuntimeError):
-            pass  # single-process run: nothing to initialize
+    except (ValueError, RuntimeError):
+        if explicit:
+            raise  # real mis-setup (bad address, backend already live)
+        # auto mode: single-process / non-cluster environment — fine.
     return jax.process_index()
 
 

@@ -43,12 +43,36 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put every array in a batch pytree with the batch dim sharded."""
+    """Device-put every array in a batch pytree with the batch dim sharded.
+
+    Multi-process: every process holds the SAME global batch (loaders are
+    seeded identically, the reference's DistributedSampler analogue); each
+    contributes the row-range owned by its addressable devices via
+    ``make_array_from_process_local_data`` (device_put cannot target another
+    process's devices).
+    """
     sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    pid, n = jax.process_index(), jax.process_count()
+
+    def put(x):
+        x = np.asarray(x)
+        rows = x.shape[0]
+        assert rows % n == 0, (rows, n)
+        local = x[pid * (rows // n):(pid + 1) * (rows // n)]
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree.map(put, batch)
 
 
 def shard_state(state, mesh: Mesh):
-    """Replicate the train state across the mesh."""
+    """Replicate the train state across the mesh (all processes hold
+    identical values — same PRNG seed everywhere)."""
     sharding = replicate_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), state)

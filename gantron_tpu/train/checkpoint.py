@@ -26,7 +26,21 @@ class CheckpointManager:
     def __init__(self, output_directory: str):
         self.output_directory = os.path.abspath(output_directory)
         os.makedirs(self.output_directory, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # Checkpoints here are host-side numpy trees (saved after
+            # device_get, chief-only — see loop.train). Scope the orbax
+            # barriers to THIS process, or a chief-only save deadlocks
+            # waiting for processes that never call save
+            # (tests/test_multihost.py exercises this).
+            pid = jax.process_index()
+            opts = ocp.options.MultiprocessingOptions(
+                primary_host=pid, active_processes={pid},
+                barrier_sync_key_prefix=f"proc{pid}")
+            self._ckptr = ocp.Checkpointer(
+                ocp.StandardCheckpointHandler(),
+                multiprocessing_options=opts)
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
         self.prev_check: Optional[str] = None
         self.prev_val_loss = float("inf")
         self.best_val_loss = float("inf")

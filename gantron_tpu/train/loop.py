@@ -194,6 +194,13 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
           waveglow_path: Optional[str] = None):
     """Main entry (reference train.py:211-440)."""
     os.makedirs(output_directory, exist_ok=True)
+    # Reference rank-0 gating (train.py:426-431 checkpoints and logs only on
+    # rank 0; multiproc.py redirects other ranks): non-chief processes in a
+    # multi-host run still execute every collective step (validation is a
+    # computation over the global mesh) but write no files/media/checkpoints.
+    chief = jax.process_index() == 0
+    if not chief:
+        logger = MetricLogger(None, quiet=True)
     logger = logger or MetricLogger(output_directory)
     mesh = make_mesh(hp.mesh_shape)
     vocoder = None
@@ -326,12 +333,14 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 val_loss = validate(eval_step, state, val_loader, mesh,
                                     iteration, hp, logger, hp.attn_steps,
                                     media_dir=os.path.join(output_directory,
-                                                           "media"),
+                                                           "media")
+                                    if chief else None,
                                     vocoder=vocoder)
-                path = ckpt.save(jax.device_get(state), iteration,
-                                 val_loss, extra={"g_lr": g_lr,
-                                                  "d_lr": d_lr})
-                logger.save_file(path)
+                if chief:
+                    path = ckpt.save(jax.device_get(state), iteration,
+                                     val_loss, extra={"g_lr": g_lr,
+                                                      "d_lr": d_lr})
+                    logger.save_file(path)
                 validated_at = iteration
 
             if (hp.reduce_lr_steps_every > 0
@@ -348,12 +357,14 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     val_loss = validate(
                         eval_step, state, val_loader, mesh, iteration, hp,
                         logger, hp.attn_steps,
-                        media_dir=os.path.join(output_directory, "media"),
+                        media_dir=os.path.join(output_directory, "media")
+                        if chief else None,
                         vocoder=vocoder)
-                    path = ckpt.save(jax.device_get(state), iteration,
-                                     val_loss, extra={"g_lr": g_lr,
-                                                      "d_lr": d_lr})
-                    logger.save_file(path)
+                    if chief:
+                        path = ckpt.save(jax.device_get(state), iteration,
+                                         val_loss, extra={"g_lr": g_lr,
+                                                          "d_lr": d_lr})
+                        logger.save_file(path)
                 return state, iteration
     flush_log()
     return state, iteration

@@ -57,6 +57,14 @@ def main():
 
     args = parser.parse_args()
 
+    # Must run before anything touches the XLA backend: joins this process
+    # into a multi-host cluster when pod/cluster env vars are set (TPU pods
+    # auto-configure), no-op for single-host runs. Replaces the reference's
+    # init_distributed + multiproc.py launcher (train.py:79-91).
+    from gantron_tpu.parallel.distributed import initialize_multihost
+
+    rank = initialize_multihost()
+
     from gantron_tpu.config import HParams
     from gantron_tpu.train.loop import train
     from gantron_tpu.utils.cache import enable_compilation_cache
@@ -76,8 +84,11 @@ def main():
 
     output_directory = args.output_directory or os.path.join(
         "output", name)
+    # Chief-only logging (reference rank-0 gating, train.py:426-431);
+    # loop.train installs a quiet no-op logger on other ranks.
     logger = MetricLogger(output_directory, run_name=name,
-                          use_wandb=args.use_wandb, config=hp.as_dict())
+                          use_wandb=args.use_wandb,
+                          config=hp.as_dict()) if rank == 0 else None
     train(output_directory, args.checkpoint_path, args.warm_start, hp,
           args.wavs_path, logger=logger, real=float(args.real),
           waveglow_path=args.waveglow_path)
