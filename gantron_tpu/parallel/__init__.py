@@ -1,6 +1,6 @@
 from gantron_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                       replicate_sharding, shard_batch,
-                                       shard_state)
+                                       pad_batch_rows, replicate_sharding,
+                                       shard_batch, shard_state)
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch",
-           "shard_state"]
+__all__ = ["make_mesh", "batch_sharding", "pad_batch_rows",
+           "replicate_sharding", "shard_batch", "shard_state"]

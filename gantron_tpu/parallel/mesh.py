@@ -42,6 +42,26 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def pad_batch_rows(batch, multiple: int):
+    """Repeat-pad the batch dim to a device-divisible row count.
+
+    Validation loaders keep remainder batches (drop_last=False, reference
+    train.py:100-111); an N-device data sharding needs rows % N == 0 in
+    every process count. Duplicated tail rows bias the batch-mean metrics
+    negligibly; the training loader uses drop_last=True and never pads.
+    """
+    rows = np.asarray(jax.tree.leaves(batch)[0]).shape[0]
+    pad_n = (-rows) % multiple
+    if pad_n == 0:
+        return batch
+
+    def pad(x):
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], pad_n, axis=0)], axis=0)
+
+    return jax.tree.map(pad, batch)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put every array in a batch pytree with the batch dim sharded.
 

@@ -30,8 +30,8 @@ class CheckpointManager:
             # Checkpoints here are host-side numpy trees (saved after
             # device_get, chief-only — see loop.train). Scope the orbax
             # barriers to THIS process, or a chief-only save deadlocks
-            # waiting for processes that never call save
-            # (tests/test_multihost.py exercises this).
+            # waiting for processes that never call save (the 2-process
+            # worker in tests/test_multihost.py saves on the chief only).
             pid = jax.process_index()
             opts = ocp.options.MultiprocessingOptions(
                 primary_host=pid, active_processes={pid},
@@ -55,7 +55,8 @@ class CheckpointManager:
         path = self._path(iteration, val_loss)
         payload = {"state": jax.tree.map(np.asarray, state)}
         self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()
+        if hasattr(self._ckptr, "wait_until_finished"):  # async-backed only
+            self._ckptr.wait_until_finished()
         if extra:
             import json
 

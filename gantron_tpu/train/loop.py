@@ -26,7 +26,9 @@ import numpy as np
 
 from gantron_tpu.data.dataset import (DataLoader, PrefetchLoader,
                                       SyntheticDataset, TextMelDataset)
-from gantron_tpu.parallel import make_mesh, shard_batch, shard_state
+from gantron_tpu.parallel import (make_mesh, pad_batch_rows, shard_batch,
+                                  shard_state)
+from gantron_tpu.parallel.distributed import is_chief
 from gantron_tpu.train.checkpoint import CheckpointManager, warm_start_filter
 from gantron_tpu.train.state import create_train_state
 from gantron_tpu.train.step import make_train_steps
@@ -92,6 +94,11 @@ def validate(eval_step, state, val_loader, mesh, iteration, hp, logger,
     n = 0
     last = None
     for batch in val_loader:
+        if mesh and jax.process_count() > 1:
+            # drop_last=False keeps remainder batches; cross-process
+            # sharding needs rows % n_devices == 0 (single-process jit
+            # tolerates uneven shards, so metrics there are unpadded).
+            batch = pad_batch_rows(batch, mesh.size)
         sharded = shard_batch(batch, mesh) if mesh else batch
         metrics, out = eval_step(state, sharded,
                                  jax.random.fold_in(
@@ -145,6 +152,19 @@ def make_vocoder(hp, waveglow_path=None):
     return vocode
 
 
+def _to_local_host(x):
+    """Fetch a jax.Array to host numpy, multi-host safe: a batch-sharded
+    global array spans non-addressable devices, so gather only THIS
+    process's rows (enough for media sampling)."""
+    if not hasattr(x, "addressable_shards"):
+        return np.asarray(x)
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: tuple(sl.start or 0 for sl in s.index))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def _save_validation_media(last, iteration, media_dir, hp, logger=None,
                            vocoder=None):
     import numpy as np  # noqa: F811
@@ -155,7 +175,7 @@ def _save_validation_media(last, iteration, media_dir, hp, logger=None,
                                             plot_spectrogram)
 
     batch, out = last
-    mel_out, mel_post, gates, aligns = (np.asarray(x) for x in out[:4])
+    mel_out, mel_post, gates, aligns = (_to_local_host(x) for x in out[:4])
     os.makedirs(media_dir, exist_ok=True)
     B = mel_out.shape[0]
     rnd = pyrandom.Random(iteration)
@@ -198,11 +218,17 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     # rank 0; multiproc.py redirects other ranks): non-chief processes in a
     # multi-host run still execute every collective step (validation is a
     # computation over the global mesh) but write no files/media/checkpoints.
-    chief = jax.process_index() == 0
+    chief = is_chief()
     if not chief:
         logger = MetricLogger(None, quiet=True)
     logger = logger or MetricLogger(output_directory)
     mesh = make_mesh(hp.mesh_shape)
+    if jax.process_count() > 1 and hp.batch_size % mesh.size != 0:
+        # Single-process jit tolerates uneven data sharding (XLA pads);
+        # cross-process make_array_from_process_local_data cannot.
+        raise ValueError(
+            f"batch_size={hp.batch_size} is not divisible by the "
+            f"{mesh.size}-device data mesh; adjust batch_size or mesh_shape")
     vocoder = None
     if getattr(hp, "validation_audio", True):
         vocoder = make_vocoder(hp, waveglow_path)
@@ -252,6 +278,25 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     g_lr = float(meta.get("g_lr", g_lr))
                     d_lr = float(meta.get("d_lr", d_lr))
 
+    if jax.process_count() > 1:
+        # Chief-only checkpointing means only the chief may have found a
+        # checkpoint (no shared FS required): broadcast the chief's state,
+        # iteration, and LRs so every process resumes identically — a
+        # divergent iteration counter would desync the G/D schedule and
+        # deadlock the collectives.
+        from jax.experimental import multihost_utils
+
+        state, (iteration, g_lr, d_lr) = multihost_utils.broadcast_one_to_all(
+            (jax.device_get(state),
+             np.asarray([iteration, g_lr, d_lr], np.float64)))
+        iteration, g_lr, d_lr = int(iteration), float(g_lr), float(d_lr)
+        if max_seconds is not None:
+            # Per-process wall clocks disagree; one process stopping while
+            # another continues would hang the cluster mid-collective.
+            logger.info("max_seconds ignored in multi-process runs "
+                        "(iteration-based stopping only)")
+            max_seconds = None
+
     state = shard_state(state, mesh)
 
     n_epochs = hp.epochs
@@ -263,6 +308,19 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     pending_log = None  # (step, dict) logged one step late
     t_start = time.time()
     rnd = pyrandom.Random(hp.seed)
+
+    def validate_and_save():
+        """Collective validation on every process; chief-only media+save."""
+        val_loss = validate(eval_step, state, val_loader, mesh, iteration,
+                            hp, logger, hp.attn_steps,
+                            media_dir=os.path.join(output_directory, "media")
+                            if chief else None,
+                            vocoder=vocoder)
+        if chief:
+            path = ckpt.save(jax.device_get(state), iteration, val_loss,
+                             extra={"g_lr": g_lr, "d_lr": d_lr})
+            logger.save_file(path)
+        return val_loss
 
     def flush_log():
         nonlocal pending_log
@@ -330,17 +388,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             validated_at = -1
             if iteration % hp.iters_per_checkpoint == 0:
                 flush_log()
-                val_loss = validate(eval_step, state, val_loader, mesh,
-                                    iteration, hp, logger, hp.attn_steps,
-                                    media_dir=os.path.join(output_directory,
-                                                           "media")
-                                    if chief else None,
-                                    vocoder=vocoder)
-                if chief:
-                    path = ckpt.save(jax.device_get(state), iteration,
-                                     val_loss, extra={"g_lr": g_lr,
-                                                      "d_lr": d_lr})
-                    logger.save_file(path)
+                validate_and_save()
                 validated_at = iteration
 
             if (hp.reduce_lr_steps_every > 0
@@ -354,17 +402,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             if stop:
                 flush_log()
                 if validated_at != iteration:  # avoid double validate+save
-                    val_loss = validate(
-                        eval_step, state, val_loader, mesh, iteration, hp,
-                        logger, hp.attn_steps,
-                        media_dir=os.path.join(output_directory, "media")
-                        if chief else None,
-                        vocoder=vocoder)
-                    if chief:
-                        path = ckpt.save(jax.device_get(state), iteration,
-                                         val_loss, extra={"g_lr": g_lr,
-                                                          "d_lr": d_lr})
-                        logger.save_file(path)
+                    validate_and_save()
                 return state, iteration
     flush_log()
     return state, iteration

@@ -18,6 +18,15 @@ def enable_compilation_cache(cache_dir: str = None):
     cache_dir = cache_dir or os.environ.get("GANTRON_JAX_CACHE",
                                             DEFAULT_CACHE_DIR)
     try:
+        # Multi-process runs compile the same programs concurrently; give
+        # each process its own directory so cache writes never race.
+        # (process_count touches the backend — callers run after
+        # jax.distributed.initialize, see train.py.)
+        if jax.process_count() > 1:
+            cache_dir = os.path.join(cache_dir, f"proc{jax.process_index()}")
+    except Exception:
+        pass
+    try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -100,6 +100,22 @@ state, metrics, gen_mel = g_step(state, gbatch, jnp.float32(1e-3),
                                  jnp.float32(10.0))
 g_loss = float(metrics["generator_loss"])
 assert np.isfinite(g_loss)
+
+# Chief-only checkpoint save under process_count==2: exercises the
+# process-scoped orbax barrier options (train/checkpoint.py) — an
+# un-scoped checkpointer would deadlock here waiting for process 1.
+workdir = sys.argv[4]
+from gantron_tpu.train.checkpoint import CheckpointManager
+
+ckpt = CheckpointManager(os.path.join(workdir, "ckpts"))
+if pid == 0:
+    host_state = jax.device_get(state)
+    path = ckpt.save(host_state, 1, g_loss)
+    restored = ckpt.restore(path, host_state)
+    a = jax.tree.leaves(host_state.g_params)[0]
+    b = jax.tree.leaves(restored.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 print(f"RESULT {pid} {g_loss:.10f}", flush=True)
 """
 
@@ -123,7 +139,8 @@ def test_two_process_data_parallel_step(tmp_path):
     env.pop("JAX_PLATFORMS", None)
 
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(port), str(pid), REPO],
+        [sys.executable, str(worker), str(port), str(pid), REPO,
+         str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for pid in (0, 1)]
     outs = []
