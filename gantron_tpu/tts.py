@@ -55,6 +55,17 @@ class Synthesizer:
         L = int(out[4][0])
         return np.asarray(out[1])[0, :, :L], L
 
+    def export(self, path, batch_size=1, text_len=96, max_steps=None,
+               waveglow=None, platforms=None) -> int:
+        """Serialize this model's inference graph (weights baked in) to a
+        standalone ``jax.export`` artifact — see gantron_tpu/export.py."""
+        from gantron_tpu.export import export_tts
+
+        return export_tts(self.model, self.variables, path,
+                          batch_size=batch_size, text_len=text_len,
+                          max_steps=max_steps, waveglow=waveglow,
+                          platforms=platforms)
+
     def tts(self, text, waveglow=None, style=None, emotions=None,
             speaker=None, seed=0, sigma=0.666,
             griffin_lim_iters=30) -> np.ndarray:
