@@ -83,11 +83,17 @@ def mel_to_wav_griffin_lim(mel, mel_fn: "MelSpectrogram", n_iters=30,
     return griffin_lim(magnitudes, mel_fn.stft, n_iters=n_iters, key=key)
 
 
-def power_to_db(S, amin=1e-10, top_db=80.0):
+def power_to_db(S, amin=1e-10, top_db=80.0, ref_axis=None):
     """librosa ``power_to_db(..., ref=np.max)``: 10*log10(S/max), floored at
     max - top_db. Used by the classifier featurizer (reference
-    classifier.py:220-226)."""
-    ref = jnp.maximum(jnp.max(S), amin)
+    classifier.py:220-226).
+
+    ``ref_axis``: axes the max reference is taken over. librosa operates on
+    one spectrogram at a time, so a batched caller must pass per-sample axes
+    (e.g. ``(-2, -1)``) — a single global max would shift every sample's dB
+    scale by the loudest utterance in the batch."""
+    ref = jnp.maximum(jnp.max(S, axis=ref_axis, keepdims=ref_axis is not None),
+                      amin)
     log_spec = 10.0 * (jnp.log10(jnp.maximum(S, amin)) - jnp.log10(ref))
     return jnp.maximum(log_spec, -top_db)
 
@@ -112,4 +118,4 @@ class PowerMelDB:
         mel = jnp.einsum("mf,bft->bmt", self.mel_basis, power,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
-        return power_to_db(mel)
+        return power_to_db(mel, ref_axis=(-2, -1))

@@ -68,6 +68,14 @@ class TextMelDataset:
             hp.sampling_rate, hp.mel_fmin, hp.mel_fmax)
         self.mel_cache_dir = mel_cache_dir
         self.load_mel_from_disk = hp.load_mel_from_disk
+        # Cache key: mel-affecting hparams fingerprint, so changing the STFT
+        # or mel config can never silently reuse stale cached features.
+        import hashlib
+
+        cfg = (f"{hp.sampling_rate}-{hp.filter_length}-{hp.hop_length}-"
+               f"{hp.win_length}-{hp.n_mel_channels}-{hp.mel_fmin}-"
+               f"{hp.mel_fmax}")
+        self._mel_tag = hashlib.md5(cfg.encode()).hexdigest()[:8]
 
         # Deterministic shuffled index indirection (reference
         # data_utils.py:36-42).
@@ -79,11 +87,19 @@ class TextMelDataset:
         return len(self.entries)
 
     def _mel_path(self, audiopath: str) -> str:
-        base = os.path.splitext(audiopath)[0] + ".mel.npy"
+        base = os.path.splitext(audiopath)[0]
         if self.mel_cache_dir:
-            return os.path.join(self.mel_cache_dir,
-                                os.path.basename(base))
-        return base
+            # Basenames repeat across corpus subdirs (VESUS lays out
+            # Audio/<emotion>/<speaker>/1.wav); key by the full path too or
+            # same-named wavs silently share one cache file.
+            import hashlib
+
+            h = hashlib.md5(
+                os.path.abspath(audiopath).encode()).hexdigest()[:10]
+            return os.path.join(
+                self.mel_cache_dir,
+                f"{os.path.basename(base)}.{h}.{self._mel_tag}.mel.npy")
+        return f"{base}.{self._mel_tag}.mel.npy"
 
     def get_mel(self, audiopath: str) -> np.ndarray:
         """(n_mel, T) float32."""
@@ -153,7 +169,10 @@ class TextMelDataset:
                     num_samples, rate = wav_info(path)
                     scaled = num_samples * self.hp.sampling_rate / max(rate, 1)
                     key = int(scaled // self.hp.hop_length) + 1
-                except (OSError, ValueError):
+                except Exception:
+                    # Sorting is an optimization; a malformed header must
+                    # degrade to key 0, never kill the training iterator
+                    # (struct.error is not a ValueError).
                     key = 0
             self._sort_keys[index] = key
         return key
@@ -281,12 +300,17 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
+        _ERROR = object()
 
         def worker():
             try:
                 for item in self.loader:
                     q.put(item)
-            finally:
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                # Propagate to the consumer: swallowing here would turn a
+                # corrupt sample into a silently-truncated epoch.
+                q.put((_ERROR, e))
+            else:
                 q.put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -295,6 +319,9 @@ class PrefetchLoader:
             item = q.get()
             if item is _END:
                 break
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _ERROR:
+                raise item[1]
             yield item
 
 

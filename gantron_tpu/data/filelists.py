@@ -39,6 +39,8 @@ def load_filepaths_and_text(filename, wavs_path, split="|"):
     out = []
     with open(filename, encoding="utf-8") as f:
         for line in f:
+            if not line.strip():
+                continue  # blank line would yield a textless 1-element row
             parts = line.strip().split(split)
             out.append([wavs_path + parts[0]] + parts[1:])
     return out

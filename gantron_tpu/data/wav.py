@@ -31,6 +31,7 @@ def read_wav(path):
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -38,8 +39,16 @@ def read_wav(path):
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in guid
-        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes of
+        # the SubFormat GUID at offset 24 of the fmt body (cbSize at 16,
+        # validBits/channelMask at 18/20). Extensible float32 wavs are
+        # common from DAW/sox output; guessing PCM from the bit depth would
+        # misdecode float bit patterns as int32 garbage.
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            audio_format = 1 if bits in (8, 16, 24) else 3
 
     if audio_format == 1:  # PCM
         if bits == 16:
@@ -85,10 +94,14 @@ def wav_info(path):
             size = struct.unpack("<I", hdr[4:8])[0]
             if chunk_id == b"fmt ":
                 body = f.read(16)
+                if len(body) < 16:
+                    raise ValueError(f"{path}: truncated fmt chunk")
                 _, channels, rate, _, block_align, _ = struct.unpack(
                     "<HHIIHH", body)
                 f.seek(size - 16 + (size & 1), 1)
             elif chunk_id == b"data":
+                if rate is None:
+                    raise ValueError(f"{path}: data chunk before fmt")
                 return size // max(block_align or 1, 1), rate
             else:
                 f.seek(size + (size & 1), 1)

@@ -16,10 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-
-def _dropout(x, rate, key):
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+from gantron_tpu.models.modules import dropout as _dropout
 
 
 class Classifier(nn.Module):

@@ -11,12 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gantron_tpu.models.modules import ConvNorm
-
-
-def _dropout(x, rate, key):
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+from gantron_tpu.models.modules import ConvNorm, dropout as _dropout
 
 
 class Discriminator(nn.Module):

@@ -34,18 +34,12 @@ def xavier_uniform(gain_name: str = "linear"):
     return init
 
 
-class LinearNorm(nn.Module):
-    """Dense with xavier-uniform init (reference layers.py:9-19)."""
-
-    features: int
-    use_bias: bool = True
-    gain: str = "linear"
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Dense(self.features, use_bias=self.use_bias,
-                        kernel_init=xavier_uniform(self.gain),
-                        name="dense")(x)
+def dropout(x, rate, key):
+    """Inverted dropout driven by an explicit key — the one dropout
+    implementation shared by the generator, discriminators, and classifier
+    (the reference leans on torch's implicit-RNG F.dropout)."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
 class ConvNorm(nn.Module):
@@ -74,23 +68,6 @@ class ConvNorm(nn.Module):
                        use_bias=self.use_bias,
                        kernel_init=xavier_uniform(self.gain),
                        name="conv")(x)
-
-
-class Prenet(nn.Module):
-    """Two ReLU Dense layers with *always-on* dropout
-    (reference model.py:94-105 — dropout active even in eval)."""
-
-    sizes: tuple = (256, 256)
-
-    @nn.compact
-    def __call__(self, x, dropout_rng):
-        for i, size in enumerate(self.sizes):
-            x = LinearNorm(size, use_bias=False, name=f"layer_{i}")(x)
-            x = jax.nn.relu(x)
-            dropout_rng, sub = jax.random.split(dropout_rng)
-            keep = jax.random.bernoulli(sub, 0.5, x.shape)
-            x = jnp.where(keep, x / 0.5, 0.0)
-        return x
 
 
 class BatchNorm(nn.Module):

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gantron_tpu.models.modules import BatchNorm, ConvNorm, xavier_uniform
+from gantron_tpu.models.modules import (BatchNorm, ConvNorm, dropout,
+                                        xavier_uniform)
 from gantron_tpu.ops.rnn import (LSTMParams, lstm_params_init, masked_bilstm)
 
 N_EMOTIONS = 5
@@ -37,9 +38,7 @@ def get_mask_from_lengths(lengths, max_len):
     return jnp.arange(max_len)[None, :] < lengths[:, None]
 
 
-def _dropout(x, rate, key):
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+_dropout = dropout  # shared impl, models/modules.py
 
 
 class ScanWeights(NamedTuple):
@@ -483,6 +482,9 @@ class Tacotron2(nn.Module):
         hp = self.hp
         std = np.sqrt(2.0 / (hp.n_symbols + hp.symbols_embedding_dim))
         val = np.sqrt(3.0) * std
+        # NOTE: the speaker embedding below reuses the SYMBOL table's
+        # uniform bound — that matches the reference exactly
+        # (model.py:603-611 applies the same `val` to both embeddings).
         self.embedding = self.param(
             "embedding",
             lambda k: jax.random.uniform(

@@ -152,3 +152,92 @@ def test_length_aware_pooling_reduces_padding():
     mean_pooled, n2 = epoch_stats(8)
     assert n1 == n2 == 256
     assert mean_pooled < mean_unpooled * 0.85, (mean_pooled, mean_unpooled)
+
+
+def test_extensible_float32_wav_decodes_correctly(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE float32 must decode via the SubFormat GUID,
+    not be guessed as int32 PCM from the bit depth."""
+    import struct
+
+    from gantron_tpu.data.wav import read_wav
+
+    audio = (np.sin(np.linspace(0, 40 * np.pi, 2000)) * 0.5).astype("<f4")
+    raw = audio.tobytes()
+    # fmt body: extensible (0xFFFE), 1 ch, 22050 Hz, float32 + cbSize=22,
+    # validBits=32, channelMask=0, SubFormat GUID starting with 0x0003.
+    guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(12)
+    fmt_body = struct.pack("<HHIIHH", 0xFFFE, 1, 22050, 22050 * 4, 4, 32)
+    fmt_body += struct.pack("<HHI", 22, 32, 0) + guid
+    path = tmp_path / "ext.wav"
+    with open(path, "wb") as f:
+        payload = (b"WAVE"
+                   + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                   + b"data" + struct.pack("<I", len(raw)) + raw)
+        f.write(b"RIFF" + struct.pack("<I", len(payload)) + payload)
+    x, rate = read_wav(str(path))
+    assert rate == 22050
+    np.testing.assert_allclose(x, audio, atol=1e-6)
+
+
+def test_filelist_skips_blank_lines(tmp_path):
+    from gantron_tpu.data.filelists import load_filepaths_and_text
+
+    p = tmp_path / "list.txt"
+    p.write_text("a.wav|hello\n\nb.wav|world\n\n")
+    rows = load_filepaths_and_text(str(p), "/w/")
+    assert rows == [["/w/a.wav", "hello"], ["/w/b.wav", "world"]]
+
+
+def test_mel_cache_distinguishes_same_basenames(tmp_path):
+    """Same-named wavs in different dirs must not share a cache file, and
+    changing mel hparams must not reuse stale caches."""
+    from gantron_tpu.config import HParams
+    from gantron_tpu.data.dataset import TextMelDataset
+    from gantron_tpu.data.wav import write_wav
+
+    for sub, freq in (("a", 220.0), ("b", 880.0)):
+        d = tmp_path / sub
+        d.mkdir()
+        t = np.linspace(0, 0.4, int(0.4 * 22050))
+        write_wav(str(d / "1.wav"), 0.4 * np.sin(2 * np.pi * freq * t))
+    flist = tmp_path / "list.txt"
+    flist.write_text("a/1.wav|one\nb/1.wav|two\n")
+
+    hp = HParams()
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    ds = TextMelDataset([str(flist)], hp, str(tmp_path) + "/",
+                        mel_cache_dir=str(cache))
+    mel_a = ds.get_mel(str(tmp_path / "a/1.wav"))
+    mel_b = ds.get_mel(str(tmp_path / "b/1.wav"))
+    assert len(list(cache.iterdir())) == 2
+    assert not np.allclose(mel_a, mel_b)
+
+    hp2 = HParams()
+    hp2.add_param("n_mel_channels", 40)
+    ds2 = TextMelDataset([str(flist)], hp2, str(tmp_path) + "/",
+                         mel_cache_dir=str(cache))
+    mel_a2 = ds2.get_mel(str(tmp_path / "a/1.wav"))
+    assert mel_a2.shape[0] == 40  # stale 80-mel cache NOT reused
+
+
+def test_prefetch_loader_propagates_errors():
+    from gantron_tpu.data.dataset import PrefetchLoader
+
+    def bad_iter():
+        yield 1
+        raise RuntimeError("corrupt sample")
+
+    class L:
+        def __iter__(self):
+            return bad_iter()
+
+        def __len__(self):
+            return 2
+
+    import pytest
+
+    it = iter(PrefetchLoader(L()))
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="corrupt sample"):
+        next(it)
