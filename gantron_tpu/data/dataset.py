@@ -301,28 +301,45 @@ class PrefetchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         _END = object()
         _ERROR = object()
+        stop = threading.Event()
+
+        def put(item):
+            # Bounded put that gives up when the consumer abandoned the
+            # iterator (early `return` from a training loop): a plain
+            # q.put would block this thread forever, pinning its batches.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self.loader:
-                    q.put(item)
+                    if not put(item):
+                        return
             except BaseException as e:  # noqa: BLE001 - re-raised below
                 # Propagate to the consumer: swallowing here would turn a
                 # corrupt sample into a silently-truncated epoch.
-                q.put((_ERROR, e))
+                put((_ERROR, e))
             else:
-                q.put(_END)
+                put(_END)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] is _ERROR:
-                raise item[1]
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is _ERROR:
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()
 
 
 class SyntheticDataset:

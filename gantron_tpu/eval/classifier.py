@@ -106,8 +106,11 @@ class MelCrops:
             random.Random(self.rng.randint(1 << 30)).shuffle(order)
         for i in range(0, len(order), batch_size):
             idx = order[i:i + batch_size]
-            if drop_last and len(idx) < batch_size:
+            if drop_last and len(idx) < batch_size and i > 0:
                 break
+            # A dataset smaller than batch_size yields its single short
+            # batch rather than nothing — zero batches would make fit()
+            # average over an empty list (tiny study corpora hit this).
             items = [self.item(j) for j in idx]
             T = max(m.shape[1] for m, _ in items)
             if pad_to:
@@ -216,6 +219,11 @@ class ClassifierTrainer:
                 self.variables = {"params": params, "batch_stats": bs}
                 losses.append(float(loss))
                 accs.append(float(acc))
+            if not losses:
+                raise ValueError(
+                    "training dataset produced zero batches "
+                    f"(need >= batch_size={hp.batch_size} crops; "
+                    "np.mean([]) would silently train on NaN metrics)")
             record = {"epoch": epoch, "train_loss": float(np.mean(losses)),
                       "train_acc": float(np.mean(accs))}
             if val_data is not None:
@@ -241,6 +249,9 @@ class ClassifierTrainer:
                 jnp.asarray(lengths), jnp.asarray(labels), sub)
             losses.append(float(loss))
             accs.append(float(acc))
+        if not losses:  # empty split (e.g. a tiny val fraction rounding to 0)
+            return {prefix + "loss": float("nan"), prefix + "acc": 0.0,
+                    prefix + "empty": True}
         return {prefix + "loss": float(np.mean(losses)),
                 prefix + "acc": float(np.mean(accs))}
 

@@ -101,6 +101,12 @@ def force_style_emotions(model, variables, input_sequence, output_path,
                     name += f"emotion-{g}-"
                 if force_style:
                     name += f"style-{g}-"
+                if not name:
+                    # With neither force flag the reference names every
+                    # group's samples identically and groups overwrite each
+                    # other (inference_samples.py:118-123); keep the group
+                    # prefix so all n_groups*B mels survive.
+                    name = f"group-{g}-"
                 name += f"{i}"
             np.save(os.path.join(output_path, f"{name}.npy"),
                     mel_post[i, :, :L])

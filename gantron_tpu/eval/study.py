@@ -37,35 +37,38 @@ def compute_wavs(mel_dir, wav_dir, hp, waveglow=None, batch_size=8,
                             hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin,
                             hp.mel_fmax)
     paths = sorted(p for p in os.listdir(mel_dir) if p.endswith(".npy"))
-    new_paths = []
-    batch, batch_names, max_len = [], [], 0
-    for i, p in enumerate(paths):
+    # Partition up front: a cache hit on the LAST path must not skip the
+    # final flush of pending mels.
+    new_paths = {}
+    todo = []
+    for p in paths:
         out_path = os.path.join(wav_dir, p.split(".npy")[0] + ".wav")
         if os.path.exists(out_path):
-            new_paths.append(out_path)
-            continue
-        mel = np.load(os.path.join(mel_dir, p), allow_pickle=True)
-        batch.append(mel)
-        batch_names.append(out_path)
-        max_len = max(max_len, mel.shape[1])
-        if len(batch) == batch_size or i == len(paths) - 1:
-            padded = np.zeros((len(batch), hp.n_mel_channels, max_len),
-                              np.float32)
-            for j, m in enumerate(batch):
-                padded[j, :, : m.shape[1]] = m
-            if waveglow is not None:
-                wavs = np.asarray(waveglow.infer(jnp.asarray(padded),
-                                                 sigma=0.666))
-            else:
-                key, sub = jax.random.split(key)
-                wavs = np.asarray(mel_to_wav_griffin_lim(
-                    jnp.asarray(padded), mel_fn, n_iters=30, key=sub))
-            for j, (m, out) in enumerate(zip(batch, batch_names)):
-                n_samples = m.shape[1] * hp.hop_length
-                write_wav(out, wavs[j][:n_samples], hp.sampling_rate)
-                new_paths.append(out)
-            batch, batch_names, max_len = [], [], 0
-    return new_paths
+            new_paths[p] = out_path
+        else:
+            todo.append((p, out_path))
+
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start:start + batch_size]
+        mels = [np.load(os.path.join(mel_dir, p), allow_pickle=True)
+                for p, _ in chunk]
+        max_len = max(m.shape[1] for m in mels)
+        padded = np.zeros((len(mels), hp.n_mel_channels, max_len), np.float32)
+        for j, m in enumerate(mels):
+            padded[j, :, : m.shape[1]] = m
+        if waveglow is not None:
+            wavs = np.asarray(waveglow.infer(jnp.asarray(padded),
+                                             sigma=0.666))
+        else:
+            key, sub = jax.random.split(key)
+            wavs = np.asarray(mel_to_wav_griffin_lim(
+                jnp.asarray(padded), mel_fn, n_iters=30, key=sub))
+        for j, ((p, out), m) in enumerate(zip(chunk, mels)):
+            n_samples = m.shape[1] * hp.hop_length
+            write_wav(out, wavs[j][:n_samples], hp.sampling_rate)
+            new_paths[p] = out
+    # Original listing order (callers pair these with group labels).
+    return [new_paths[p] for p in paths]
 
 
 def group_labels_from_paths(file_paths, n_groups):

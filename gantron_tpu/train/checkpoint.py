@@ -65,13 +65,21 @@ class CheckpointManager:
 
         # Retention (reference train.py:449-465): drop the previous ckpt if
         # the new val loss improves on it; separately track the best-ever
-        # (deleting the superseded best).
+        # (deleting the superseded best). Sidecar .meta.json files go with
+        # their checkpoints or they orphan-accumulate over a long run.
+        def _drop(ckpt_path):
+            shutil.rmtree(ckpt_path, ignore_errors=True)
+            try:
+                os.remove(ckpt_path + ".meta.json")
+            except OSError:
+                pass
+
         if self.prev_check is not None and val_loss < self.prev_val_loss:
-            shutil.rmtree(self.prev_check, ignore_errors=True)
+            _drop(self.prev_check)
         if val_loss < self.best_val_loss:
             if (self.best_val_loss_path is not None
                     and os.path.exists(self.best_val_loss_path)):
-                shutil.rmtree(self.best_val_loss_path, ignore_errors=True)
+                _drop(self.best_val_loss_path)
             self.best_val_loss = val_loss
             self.best_val_loss_path = path
         self.prev_check = path

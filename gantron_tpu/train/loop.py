@@ -266,9 +266,21 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 g_params=warm_start_filter(
                     state.g_params, payload["state"]["g_params"],
                     hp.ignore_layers))
+            # The reference's warm start goes through load_state_dict, which
+            # carries BatchNorm running stats too (train.py:128-140); fresh
+            # mean-0/var-1 stats would cripple eval-mode conv stacks.
+            if "g_batch_stats" in payload.get("state", {}):
+                state = state.replace(
+                    g_batch_stats=warm_start_filter(
+                        state.g_batch_stats,
+                        payload["state"]["g_batch_stats"], hp.ignore_layers))
         else:
             state = ckpt.restore(checkpoint_path, state)
-            iteration = int(np.asarray(state.step)) + 1
+            # state.step == completed steps == the iteration counter at save
+            # time (both increment once per batch); the next batch's index
+            # IS state.step — a +1 here would skip one schedule index per
+            # resume and train one step fewer than an uninterrupted run.
+            iteration = int(np.asarray(state.step))
             if hp.use_saved_learning_rate:
                 # Restore the LRs stored with the checkpoint (reference
                 # train.py:266-269) — NOT a schedule reconstruction, so

@@ -50,7 +50,9 @@ def mel_to_audio(base_path, waveglow_path: Optional[str] = None,
         random.shuffle(names)
     written = []
     for i, name in enumerate(names):
-        out_path = os.path.join(base_path, name.split(".")[0] + ".wav")
+        # Split on the extension, not the first dot: sampled mel names embed
+        # rounded emotion floats ('0-3-0.6,0,....npy') whose dots are data.
+        out_path = os.path.join(base_path, name[:-len(".npy")] + ".wav")
         if os.path.exists(out_path) and not force_create:
             continue
         mel = np.load(os.path.join(base_path, name), allow_pickle=True)

@@ -241,3 +241,26 @@ def test_prefetch_loader_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="corrupt sample"):
         next(it)
+
+
+def test_prefetch_loader_worker_exits_on_early_break():
+    import threading
+    import time
+
+    from gantron_tpu.data.dataset import PrefetchLoader
+
+    class Endless:
+        def __iter__(self):
+            return iter(range(10000))
+
+        def __len__(self):
+            return 10000
+
+    before = threading.active_count()
+    it = iter(PrefetchLoader(Endless()))
+    assert next(it) == 0
+    it.close()  # what an abandoned for-loop does on GC
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -65,7 +65,7 @@ def test_resume_from_checkpoint(tmp_path):
     state, iteration = train(out_dir, ckpts[0], False, hp2, "synthetic",
                              logger=MetricLogger(out_dir, run_name="b",
                                                  quiet=True))
-    assert iteration == 9  # resumed at 7, ran to 9
+    assert iteration == 9  # resumed at 6, ran steps 6-8
 
 
 def test_loop_linear_discriminator_and_vesus(tmp_path):
@@ -106,7 +106,7 @@ def test_auto_resume_and_saved_lr(tmp_path):
     state, iteration = train(out_dir, None, False, hp2, "synthetic",
                              logger=MetricLogger(out_dir, run_name="b",
                                                  quiet=True))
-    assert iteration == 8  # resumed at 7, not from scratch
+    assert iteration == 8  # resumed at 6, not from scratch
 
     records = [json.loads(l) for l in
                open(os.path.join(out_dir, "b.metrics.jsonl"))]
