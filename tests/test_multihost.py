@@ -128,11 +128,11 @@ def _free_port():
     return port
 
 
-def test_two_process_data_parallel_step(tmp_path):
-    worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
-    port = _free_port()
+_INFRA_MARKERS = ("DEADLINE_EXCEEDED", "coordination", "heartbeat",
+                  "Barrier timed out")
 
+
+def _run_cluster(worker, port, tmp_path):
     env = dict(os.environ)
     # The workers set their own platform/device flags; drop the parent's.
     env.pop("XLA_FLAGS", None)
@@ -152,10 +152,29 @@ def test_two_process_data_parallel_step(tmp_path):
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_data_parallel_step(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+
+    # On a 1-core host, heavy CPU contention (e.g. the rest of the suite
+    # compiling) can starve the distributed runtime's heartbeats/barriers.
+    # Retry ONLY that infrastructure failure mode; numerical or assertion
+    # failures inside workers fail immediately.
+    for attempt in range(3):
+        procs, outs = _run_cluster(worker, _free_port(), tmp_path)
+        if all(p.returncode == 0 for p in procs):
+            break
+        infra = any(m in out for out in outs for m in _INFRA_MARKERS)
+        is_last = attempt == 2
+        if not infra or is_last:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 
     results = {}
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
         line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
         _, pid, g_loss = line.split()
         results[int(pid)] = float(g_loss)
