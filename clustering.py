@@ -42,6 +42,7 @@ def main():
         return
 
     save_path = args.save_path or args.path
+    os.makedirs(save_path, exist_ok=True)
     labels, centers, embedded = run_clustering(mels, args.clusters)
     print("K-means finished")
 

@@ -43,7 +43,9 @@ def main():
     parser.add_argument("--out", type=str, default="our_outputs.npz")
     parser.add_argument("--hparams", type=str, default=None)
     parser.add_argument("--seed", type=int, default=1234)
-    parser.add_argument("--no_dropout", action="store_true", default=True)
+    # Prenet dropout is always-on in both models; comparisons default to
+    # disabling it on both sides (deterministic). --with_dropout keeps it.
+    parser.add_argument("--with_dropout", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -76,7 +78,7 @@ def main():
             jnp.zeros((2,), jnp.int32), jnp.zeros((2, 5)),
             jnp.asarray(output_lengths), train=False)
 
-    if args.no_dropout:
+    if not args.with_dropout:
         taco_mod._dropout = lambda x, r, k: x  # deterministic comparison
 
     out = model.apply(

@@ -22,6 +22,25 @@ from dataclasses import dataclass, field
 from typing import Any, List, Optional
 
 
+def _split_top_level(s: str) -> list:
+    """Split ``k=v,k=v`` on commas NOT inside brackets, so list-valued
+    overrides parse: ``mel_buckets=[240,480],batch_size=8`` is two params
+    (a naive ``split(",")`` crashed on every multi-element list)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            if s[start:i]:
+                parts.append(s[start:i])
+            start = i + 1
+    if s[start:]:
+        parts.append(s[start:])
+    return parts
+
+
 def _parse_value(value: str) -> Any:
     """Parse a CLI override value the same way the reference does.
 
@@ -179,8 +198,8 @@ class HParams:
         object.__setattr__(self, param, value)
 
     def add_params_string(self, hparams_string: str) -> None:
-        for param in hparams_string.split(","):
-            key, value = param.split("=")
+        for param in _split_top_level(hparams_string):
+            key, value = param.split("=", 1)
             self.add_param(key, _parse_value(value))
 
     def add_params(self, params) -> None:

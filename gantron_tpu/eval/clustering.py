@@ -147,6 +147,15 @@ def check_kmeans_accuracy(mels, class_ids, n_clusters=None, n_init=30,
 
     unique = np.unique(class_ids)
     k = n_clusters or len(unique)
+    if k < len(unique):
+        raise ValueError(
+            f"n_clusters={k} < {len(unique)} distinct classes: the "
+            "cluster->class permutation search cannot map every class "
+            "(and would IndexError)")
+    if k > 9:
+        raise ValueError(
+            f"n_clusters={k}: the permutation search is k! "
+            "combinations; use <= 9 clusters")
     kmeans = KMeans(n_clusters=k, random_state=seed, n_init=n_init).fit(mels)
     y = kmeans.labels_
     basic_acc = float(np.mean(y == class_ids))

@@ -52,7 +52,11 @@ def compute_wavs(mel_dir, wav_dir, hp, waveglow=None, batch_size=8,
         chunk = todo[start:start + batch_size]
         mels = [np.load(os.path.join(mel_dir, p), allow_pickle=True)
                 for p, _ in chunk]
-        max_len = max(m.shape[1] for m in mels)
+        # Degenerate decodes (a gate firing on frame 1 from an untrained
+        # model) can be near-empty; the ISTFT reflect-pad needs at least a
+        # window of audio, so pad the batch to a safe minimum.
+        min_frames = hp.filter_length // hp.hop_length + 1
+        max_len = max(max(m.shape[1] for m in mels), min_frames)
         padded = np.zeros((len(mels), hp.n_mel_channels, max_len), np.float32)
         for j, m in enumerate(mels):
             padded[j, :, : m.shape[1]] = m
@@ -113,7 +117,8 @@ def train_group_classifier(files_paths, n_groups, hpc: Optional[
 def study_model(output_path, model, variables, hp, text,
                 n_groups=6, samples=10, predefined=True, force_emotions=None,
                 force_noise=None, int_labels=False, waveglow=None,
-                classifier_epochs=20, seed=0, log_fn=None):
+                classifier_epochs=20, seed=0, log_fn=None, speaker=0,
+                waveglow_bs=8):
     """Full study pipeline; returns a metrics dict including
     ``generation_error_rate`` and group-classification accuracy."""
     mel_dir = os.path.join(output_path, "GANtronInference")
@@ -128,7 +133,8 @@ def study_model(output_path, model, variables, hp, text,
     force_noise = (hp.use_noise if force_noise is None else force_noise)
 
     reached = force_style_emotions(
-        model, variables, sequence, mel_dir, speaker=jnp.zeros((), jnp.int32),
+        model, variables, sequence, mel_dir,
+        speaker=jnp.asarray(speaker, jnp.int32),
         force_emotions=force_emotions, force_style=force_noise,
         style_shape=[sequence.shape[1], hp.noise_size], n_groups=n_groups,
         n_samples_styles=samples, simple_name=True, int_emotions=int_labels,
@@ -136,7 +142,8 @@ def study_model(output_path, model, variables, hp, text,
         max_decoder_steps=hp.max_decoder_steps,
         key=jax.random.PRNGKey(seed))
 
-    wav_paths = compute_wavs(mel_dir, wav_dir, hp, waveglow=waveglow)
+    wav_paths = compute_wavs(mel_dir, wav_dir, hp, waveglow=waveglow,
+                             batch_size=waveglow_bs)
 
     # Classifier-style features from the vocoded wavs.
     feat_fn = PowerMelDB(hp.sampling_rate, hp.filter_length, hp.hop_length,

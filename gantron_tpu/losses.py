@@ -81,7 +81,7 @@ def gradient_penalty(disc_apply, disc_params, real, generated, real_lengths,
                      generated_lengths, rng):
     """WGAN-GP on length-masked interpolates (reference train.py:32-69).
 
-    ``disc_apply(params, mel_bct, lengths)`` must return per-window scores;
+    ``disc_apply(params, mel_bct, rng)`` must return per-window scores;
     here we differentiate the summed scores w.r.t. the interpolated mel.
     ``real``/``generated``: (B, n_mel, T) — truncated to the shorter T.
     """
@@ -90,8 +90,12 @@ def gradient_penalty(disc_apply, disc_params, real, generated, real_lengths,
     T = min(real.shape[2], generated.shape[2])
     real_t = real[:, :, :T]
     gen_t = generated[:, :, :T]
-    lengths = jnp.where(real.shape[2] < generated.shape[2],
-                        real_lengths, generated_lengths)
+    # Per-sample minimum: beyond the shorter of the two valid lengths one
+    # side is zero padding, and interpolating content with zeros would bias
+    # the penalty (a whole-tensor-width comparison picked one vector for
+    # the entire batch and, with equal padded widths, always the generated
+    # one).
+    lengths = jnp.minimum(real_lengths, generated_lengths)
     lengths = jnp.minimum(lengths, T)
 
     alpha = jax.random.uniform(k_alpha, (B, 1, 1))

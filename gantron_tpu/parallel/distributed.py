@@ -33,10 +33,17 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (ValueError, RuntimeError):
+    except ValueError:
         if explicit:
-            raise  # real mis-setup (bad address, backend already live)
-        # auto mode: single-process / non-cluster environment — fine.
+            raise  # real mis-setup (bad address / inconsistent args)
+        # auto mode, no cluster detected ("coordinator_address must be
+        # set"): a plain single-process run — fine.
+    except RuntimeError:
+        # A RuntimeError means a cluster WAS configured but failed to form
+        # (coordinator unreachable, backend already initialized, ...).
+        # Swallowing it would silently degrade a pod into N independent
+        # trainings that all believe they are chief.
+        raise
     return jax.process_index()
 
 

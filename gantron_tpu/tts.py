@@ -38,7 +38,9 @@ class Synthesizer:
 
     def infer_mel(self, text, style=None, emotions=None, speaker=None,
                   seed=0, early_exit=True):
-        """Text (str or (B,T) ids) -> (mel_postnet (n_mel, L), length L)."""
+        """Text (str, 1-D ids, or (B, T) ids) -> (mel_postnet (n_mel, L),
+        length L). For a (B>1, T) batch, returns a LIST of per-sample
+        (mel, L) pairs — every row's decode is returned, not just row 0."""
         if isinstance(text, str):
             ids = np.asarray(text_to_sequence(text, self.hp.text_cleaners),
                              np.int32)[None]
@@ -52,8 +54,13 @@ class Synthesizer:
             None, early_exit, method=self.model.infer,
             rngs={"dropout": jax.random.fold_in(key, 0),
                   "noise": jax.random.fold_in(key, 1)})
-        L = int(out[4][0])
-        return np.asarray(out[1])[0, :, :L], L
+        mels = np.asarray(out[1])
+        lengths = np.asarray(out[4])
+        if ids.shape[0] == 1:
+            L = int(lengths[0])
+            return mels[0, :, :L], L
+        return [(mels[b, :, :int(lengths[b])], int(lengths[b]))
+                for b in range(ids.shape[0])]
 
     def export(self, path, batch_size=1, text_len=96, max_steps=None,
                waveglow=None, platforms=None) -> int:
@@ -69,8 +76,13 @@ class Synthesizer:
     def tts(self, text, waveglow=None, style=None, emotions=None,
             speaker=None, seed=0, sigma=0.666,
             griffin_lim_iters=30) -> np.ndarray:
-        """Text -> float32 waveform at ``hp.sampling_rate``."""
-        mel, _ = self.infer_mel(text, style, emotions, speaker, seed)
+        """Text -> float32 waveform at ``hp.sampling_rate`` (one utterance;
+        use infer_mel + a vocoder directly for batched synthesis)."""
+        result = self.infer_mel(text, style, emotions, speaker, seed)
+        if isinstance(result, list):
+            raise ValueError("tts() synthesizes one utterance; pass batched "
+                             "ids to infer_mel() and vocode per sample")
+        mel, _ = result
         if waveglow is not None:
             return np.asarray(waveglow.infer(
                 jnp.asarray(mel)[None], sigma,

@@ -14,18 +14,73 @@ def load_checkpoint_tree(checkpoint_path):
     return ckptr.restore(os.path.abspath(checkpoint_path))
 
 
+def restore_structure(template, restored):
+    """Re-impose the template's pytree node types on a template-free orbax
+    restore. Orbax returns NamedTuple params (e.g. ops.rnn.LSTMParams) as
+    plain lists/dicts; feeding those back into ``model.apply`` raises a
+    flax ScopeParamShapeError, so rebuild the original containers."""
+    if hasattr(template, "_fields"):  # NamedTuple
+        if isinstance(restored, dict):
+            try:
+                vals = [restored[k] for k in sorted(restored, key=int)]
+            except (TypeError, ValueError):
+                vals = [restored[k] for k in template._fields]
+        else:
+            vals = list(restored)
+        return type(template)(*[restore_structure(t, r)
+                                for t, r in zip(template, vals)])
+    if isinstance(template, dict):
+        return {k: restore_structure(v, restored[k])
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return type(template)(restore_structure(t, r)
+                              for t, r in zip(template, restored))
+    return restored
+
+
+def _init_generator_variables(model, hp):
+    import jax
+    import jax.numpy as jnp
+
+    B, T_in = 1, 8
+    T_out = 8 * max(1, getattr(hp, "n_frames_per_step", 1))
+    return model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "noise": jax.random.PRNGKey(2)},
+        jnp.ones((B, T_in), jnp.int32), jnp.full((B,), T_in, jnp.int32),
+        jnp.zeros((B, hp.n_mel_channels, T_out)), jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, 5)), jnp.full((B,), T_out, jnp.int32), train=False)
+
+
 def load_generator(checkpoint_path, hp):
     """Returns (model, variables) ready for ``model.apply``."""
     payload = load_checkpoint_tree(checkpoint_path)
     state = payload["state"]
     model = Tacotron2(hp)
-    variables = {"params": state["g_params"],
-                 "batch_stats": state.get("g_batch_stats", {})}
-    return model, variables
+    init_vars = _init_generator_variables(model, hp)
+    params = restore_structure(init_vars["params"], state["g_params"])
+    batch_stats = restore_structure(init_vars.get("batch_stats", {}),
+                                    state.get("g_batch_stats", {}))
+    return model, {"params": params, "batch_stats": batch_stats}
 
 
 def load_discriminator(checkpoint_path, hp):
+    import jax
+    import jax.numpy as jnp
+
     payload = load_checkpoint_tree(checkpoint_path)
     state = payload["state"]
     model = make_discriminator(hp)
-    return model, {"params": state["d_params"]}
+    W = hp.discriminator_window
+    if hp.discriminator_type == "linear":
+        d_vars = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 1, W * hp.n_mel_channels)))
+    else:
+        d_vars = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, W, hp.n_mel_channels)))
+    return model, {"params": restore_structure(d_vars["params"],
+                                               state["d_params"])}

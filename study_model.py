@@ -62,7 +62,8 @@ def main():
         force_emotions=str2bool(args.force_emotions),
         force_noise=str2bool(args.force_noise), int_labels=args.int_labels,
         waveglow=waveglow, classifier_epochs=args.classifier_epochs,
-        seed=args.seed, log_fn=lambda r: print(r))
+        seed=args.seed, log_fn=lambda r: print(r), speaker=args.speaker,
+        waveglow_bs=args.waveglow_bs)
 
     print(json.dumps({k: v for k, v in metrics.items() if k != "history"},
                      indent=2))

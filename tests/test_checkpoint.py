@@ -59,3 +59,36 @@ def test_ckpt_retention(tmp_path):
     parsed = mgr.parse_name(p3)
     assert parsed == (300, 3.0)
     assert mgr.latest().endswith("iter=300_val-loss=3.0.ckpt")
+
+
+def test_load_generator_from_real_checkpoint(tmp_path):
+    """Template-free orbax restores turn LSTMParams NamedTuples into lists;
+    load_generator must rebuild the original structure or every
+    checkpoint-loading CLI crashes (ScopeParamShapeError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gantron_tpu.train.checkpoint import CheckpointManager
+    from gantron_tpu.train.state import create_train_state
+    from gantron_tpu.utils.loading import load_generator
+
+    from test_train_step import tiny_hp, synth_batch
+
+    hp = tiny_hp()
+    batch = synth_batch(hp)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    ckpt = CheckpointManager(str(tmp_path))
+    path = ckpt.save(jax.device_get(state), 1, 1.0)
+
+    model, variables = load_generator(path, hp)
+    out = model.apply(
+        variables, batch.text, batch.text_lengths, batch.mels, batch.speaker,
+        batch.emotions, batch.output_lengths, train=False,
+        rngs={"dropout": jax.random.PRNGKey(1),
+              "noise": jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(out[1])).all()
+    # Restored arrays equal the saved ones (spot-check an LSTM tuple leaf).
+    a = state.g_params["decoder"]["attention_rnn"].w_ih
+    b = variables["params"]["decoder"]["attention_rnn"].w_ih
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

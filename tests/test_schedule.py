@@ -68,3 +68,17 @@ def test_no_disc_without_generated_mel():
     # Even in the D window, an empty fake buffer forces a G step.
     assert not is_disc_turn(7, 1, 0, hp, buffer_len=0)
     assert is_disc_turn(7, 1, 0, hp, buffer_len=1)
+
+
+def test_hparams_list_overrides_parse():
+    """List-valued --hparams (bucket/mesh fields) must parse: a naive
+    split(',') crashed on every multi-element list."""
+    from gantron_tpu.config import HParams
+
+    hp = HParams.create(
+        "mel_buckets=[240,480],batch_size=8,text_buckets=[16,32],"
+        "mesh_shape=[2,4],use_noise=True")
+    assert hp.mel_buckets == [240, 480]
+    assert hp.text_buckets == [16, 32]
+    assert hp.mesh_shape == [2, 4]
+    assert hp.batch_size == 8 and hp.use_noise is True
