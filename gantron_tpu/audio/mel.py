@@ -77,10 +77,20 @@ def mel_to_wav_griffin_lim(mel, mel_fn: "MelSpectrogram", n_iters=30,
 
     from gantron_tpu.audio.stft import griffin_lim
 
+    # Degenerate inputs (an untrained gate firing on frame 1 gives a 1-frame
+    # mel) crash the ISTFT's reflect pad; right-pad to a safe minimum and
+    # trim the waveform back afterwards.
+    T = mel.shape[2]
+    min_frames = mel_fn.stft.filter_length // mel_fn.stft.hop_length + 1
+    if T < min_frames:
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, min_frames - T)),
+                      constant_values=-11.5129)  # log(1e-5): silence floor
+
     mag_mel = dynamic_range_decompression(mel)
     pinv = jnp.asarray(np.linalg.pinv(np.asarray(mel_fn.mel_basis)))
     magnitudes = jnp.maximum(jnp.einsum("fm,bmt->bft", pinv, mag_mel), 0.0)
-    return griffin_lim(magnitudes, mel_fn.stft, n_iters=n_iters, key=key)
+    wav = griffin_lim(magnitudes, mel_fn.stft, n_iters=n_iters, key=key)
+    return wav[:, : T * mel_fn.stft.hop_length]
 
 
 def power_to_db(S, amin=1e-10, top_db=80.0, ref_axis=None):
