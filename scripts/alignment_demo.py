@@ -24,6 +24,9 @@ def main():
     parser.add_argument("-o", "--output", default="/tmp/align_demo")
     parser.add_argument("--iterations", type=int, default=400)
     parser.add_argument("--n_utts", type=int, default=64)
+    parser.add_argument("--hparams", type=str, default=None,
+                        help="extra k=v,k=v overrides (e.g. "
+                             "n_frames_per_step=2 or fp16_run=True)")
     args = parser.parse_args()
 
     from gantron_tpu.utils.cache import enable_compilation_cache
@@ -57,6 +60,8 @@ def main():
         text_buckets=[12], mel_buckets=[60],
         training_files=[train_list], validation_files=[val_list],
     ))
+    if args.hparams:
+        hp.add_params_string(args.hparams)
 
     out = os.path.join(args.output, "run")
     logger = MetricLogger(out, run_name="align")
