@@ -55,8 +55,8 @@ def make_batch(hp, seed=0, B=None):
     return Batch(
         text=jnp.asarray(text), text_lengths=jnp.asarray(text_lengths),
         mels=jnp.asarray(mels), gate=jnp.asarray(gate),
-        speaker=jnp.zeros((BATCH,), jnp.int32),
-        emotions=jnp.zeros((BATCH, 5), jnp.float32),
+        speaker=jnp.zeros((B,), jnp.int32),
+        emotions=jnp.zeros((B, 5), jnp.float32),
         output_lengths=jnp.asarray(output_lengths))
 
 

@@ -127,7 +127,13 @@ class HParams:
     encoder_n_convolutions: int = 3
     encoder_embedding_dim: int = 512
 
-    n_frames_per_step: int = 1  # only 1 supported (reference hparams.py:71)
+    # Decoder frames emitted per step. The reference declares this but only
+    # supports 1 (hparams.py:71); here K in {1, 2, 4, ...} is fully supported
+    # end to end (decoder regroups K frames per scan step, collate pads T_out
+    # to a multiple, losses/attention-guide are K-aware). K=2 measures ~1.7x
+    # and K=4 ~2.7x training throughput for a mild quality trade
+    # (docs/PERFORMANCE.md, docs/TRAINING_EVIDENCE.md).
+    n_frames_per_step: int = 1
     decoder_rnn_dim: int = 1024
     prenet_dim: int = 256
     max_decoder_steps: int = 500

@@ -160,8 +160,15 @@ def _to_local_host(x):
         return np.asarray(x)
     if jax.process_count() == 1:
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: tuple(sl.start or 0 for sl in s.index))
+    # Deduplicate by shard index: XLA may choose a replicated output sharding
+    # for some eval outputs, in which case every local device holds the same
+    # rows — concatenating them all would repeat rows n_local_devices times
+    # and desync media sample indices from the global batch arrays.
+    by_index = {}
+    for s in x.addressable_shards:
+        by_index.setdefault(
+            tuple(sl.start or 0 for sl in s.index), s)
+    shards = [by_index[k] for k in sorted(by_index)]
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

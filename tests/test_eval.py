@@ -153,3 +153,18 @@ def test_check_kmeans_emotion_dirs(tmp_path):
     assert (tmp_path / "calm" / "0.npy").exists()
     basic, best, perm = check_kmeans_accuracy(mels, class_ids)
     assert best >= 0.9  # disjoint tone bands must separate
+
+
+def test_check_kmeans_hungarian_fallback():
+    """n_clusters > 9 uses the Hungarian assignment instead of the k!
+    permutation search (same optimum, polynomial time)."""
+    from gantron_tpu.eval.clustering import check_kmeans_accuracy
+
+    rng = np.random.RandomState(0)
+    k = 12
+    centers = [np.eye(4)[i % 4] * (1 + i) for i in range(k)]
+    mels = np.concatenate(
+        [rng.randn(8, 4) * 0.05 + c for c in centers])
+    class_ids = np.repeat(np.arange(k), 8)
+    basic, best, perm = check_kmeans_accuracy(mels, class_ids)
+    assert best >= 0.9 and len(perm) == k
