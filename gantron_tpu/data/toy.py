@@ -31,6 +31,102 @@ def synth_utterance(text: str, rng) -> np.ndarray:
     return (wav + rng.randn(wav.size) * 0.003).astype(np.float32)
 
 
+EMOTIONS = ["Neutral", "Angry", "Happy", "Sad", "Fearful"]
+
+# Audible, mel-visible per-emotion modulations of the tone language. Chosen
+# so each emotion survives Griffin-Lim vocoding + classifier-style dB mel
+# re-extraction: pitch scale, harmonics, vibrato (FM), tremolo (AM), level.
+_EMOTION_FX = {
+    "Neutral": dict(pitch=1.0, amp=1.0, harm=0.0, vib=0.0, trem=0.0, nz=1.0),
+    "Angry": dict(pitch=1.45, amp=1.1, harm=0.5, vib=0.0, trem=0.0, nz=1.0),
+    "Happy": dict(pitch=1.0, amp=1.0, harm=0.0, vib=0.05, trem=0.0, nz=1.0),
+    "Sad": dict(pitch=0.72, amp=0.6, harm=0.0, vib=0.0, trem=0.0, nz=1.0),
+    "Fearful": dict(pitch=1.0, amp=0.9, harm=0.0, vib=0.0, trem=0.8, nz=4.0),
+}
+
+_SPEAKER_PITCH = [1.0, 1.19]  # per-speaker global pitch offset
+
+
+def synth_emotive_utterance(text: str, emotion: str, speaker: int,
+                            rng) -> np.ndarray:
+    """Tone-language synthesis with emotion/speaker modulation: text still
+    maps to a diagonal alignment (fixed per-char duration) while the
+    emotion audibly changes pitch/timbre/FM/AM, so both attention AND
+    emotion controllability are learnable (and measurable by the
+    study_model pipeline) on this corpus."""
+    fx = _EMOTION_FX[emotion]
+    spk_pitch = _SPEAKER_PITCH[speaker % len(_SPEAKER_PITCH)]
+    parts = []
+    t = np.arange(CHAR_SAMPLES) / SR
+    for k, ch in enumerate(text):
+        idx = CHARS.index(ch)
+        freq = 180.0 * (1.3 ** idx) * fx["pitch"] * spk_pitch
+        amp = (0.02 if ch == " " else 0.5) * fx["amp"]
+        t_abs = t + k * CHAR_SAMPLES / SR  # continuous mod phase
+        if fx["vib"]:
+            phase = 2 * np.pi * freq * t * (
+                1.0 + fx["vib"] * np.sin(2 * np.pi * 6.0 * t_abs))
+        else:
+            phase = 2 * np.pi * freq * t
+        burst = np.sin(phase)
+        if fx["harm"]:
+            burst = burst + fx["harm"] * np.sin(2 * phase)
+        if fx["trem"]:
+            burst = burst * (1.0 - fx["trem"] * 0.5
+                             * (1 + np.sin(2 * np.pi * 7.0 * t_abs)))
+        burst = amp * burst
+        burst *= np.hanning(CHAR_SAMPLES) ** 0.25
+        parts.append(burst)
+    wav = np.concatenate(parts)
+    noise = rng.randn(wav.size) * 0.003 * fx["nz"]
+    return (wav + noise).astype(np.float32)
+
+
+def build_emotive_corpus(root: str, n_utts: int = 300, n_train: int = None,
+                         min_chars: int = 5, max_chars: int = 9,
+                         n_speakers: int = 2, seed: int = 0):
+    """Write a VESUS-layout emotive tone corpus under ``root``:
+
+      Audio/<Emotion>/<speaker>/u<i>.wav
+      train.txt / val.txt rows: relpath|text|speaker|e0,e1,e2,e3,e4
+      lj_empty.txt (empty LJSpeech filelist so TextMelDataset's merged
+      two-filelist interface works VESUS-only)
+
+    Returns (vesus_root_with_sep, lj_empty, train_filelist, val_filelist).
+    The layout matches what ``load_vesus(use_labels='intended')`` expects
+    (emotion from the directory name, reference utils.py:96-102) and the
+    vector column serves 'multi' mode.
+    """
+    n_train = n_train if n_train is not None else max(n_utts - 20, 1)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    for i in range(n_utts):
+        emotion = EMOTIONS[i % len(EMOTIONS)]
+        speaker = (i // len(EMOTIONS)) % n_speakers
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        rel = f"Audio/{emotion}/{speaker}/u{i}.wav"
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        write_wav(path, synth_emotive_utterance(text, emotion, speaker, rng),
+                  SR)
+        onehot = [1.0 if e == emotion else 0.0 for e in EMOTIONS]
+        vec = ",".join(str(v) for v in onehot)
+        lines.append(f"{rel}|{text}|{speaker}|{vec}")
+    # Interleaved emotions + round-robin speakers -> both splits cover all
+    # emotion/speaker combinations.
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    lj_empty = os.path.join(root, "lj_empty.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(lines[:n_train]) + "\n")
+    with open(val_list, "w") as f:
+        f.write("\n".join(lines[n_train:]) + "\n")
+    open(lj_empty, "w").close()
+    return root + os.sep, lj_empty, train_list, val_list
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

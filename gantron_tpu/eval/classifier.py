@@ -145,14 +145,17 @@ class ClassifierTrainer:
         return jnp.mean((jax.nn.softmax(logits, -1) - labels) ** 2)
 
     def _init(self, sample_crops):
-        self.variables = self.model.init(
+        # Jitted: eager init dispatches one tiny compile per parameter,
+        # which is slow on remote-tunnel devices.
+        init = jax.jit(lambda r, x: self.model.init(r, x, train=False))
+        self.variables = init(
             {"params": jax.random.PRNGKey(0),
              "dropout": jax.random.PRNGKey(1)},
-            jnp.asarray(sample_crops), train=False)
+            jnp.asarray(sample_crops))
         self.tx = optax.chain(
             optax.add_decayed_weights(self.hp.weight_decay),
             optax.scale_by_adam())
-        self.opt_state = self.tx.init(self.variables["params"])
+        self.opt_state = jax.jit(self.tx.init)(self.variables["params"])
 
         model, tx, hp = self.model, self.tx, self.hp
 

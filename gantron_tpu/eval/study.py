@@ -118,7 +118,8 @@ def study_model(output_path, model, variables, hp, text,
                 n_groups=6, samples=10, predefined=True, force_emotions=None,
                 force_noise=None, int_labels=False, waveglow=None,
                 classifier_epochs=20, seed=0, log_fn=None, speaker=0,
-                waveglow_bs=8):
+                waveglow_bs=8, classifier_hp: Optional[
+                    ClassifierHParams] = None):
     """Full study pipeline; returns a metrics dict including
     ``generation_error_rate`` and group-classification accuracy."""
     mel_dir = os.path.join(output_path, "GANtronInference")
@@ -157,6 +158,7 @@ def study_model(output_path, model, variables, hp, text,
         npy_paths.append(npy)
 
     _, metrics = train_group_classifier(npy_paths, n_groups,
+                                        hpc=classifier_hp,
                                         epochs=classifier_epochs,
                                         log_fn=log_fn, seed=seed)
     n_files = max(len(npy_paths), 1)

@@ -50,34 +50,39 @@ def create_train_state(hp, rng, sample_batch):
         jnp.asarray(x) for x in sample_batch)
 
     k_g, k_d, k_drop, k_noise, k_state = jax.random.split(rng, 5)
-    g_vars = generator.init(
-        {"params": k_g, "dropout": k_drop, "noise": k_noise},
-        text, text_lengths, mels, speaker, emotions, output_lengths,
-        train=False)
+    # Initialization runs under ONE jit: eager model.init dispatches a
+    # separate tiny compile per parameter initializer (dozens of ops), which
+    # is minutes of round-trips on a remote-tunnel device; jitted it is a
+    # single compile + a single device execution.
+    g_init = jax.jit(lambda r, *a: generator.init(*((r,) + a), train=False))
+    g_vars = g_init({"params": k_g, "dropout": k_drop, "noise": k_noise},
+                    text, text_lengths, mels, speaker, emotions,
+                    output_lengths)
 
     T_out = mels.shape[2]
     W = hp.discriminator_window
     pad_T = ((T_out + W - 1) // W) * W
-    mel_ctw = jnp.zeros((mels.shape[0], pad_T, hp.n_mel_channels))
     if hp.discriminator_type == "linear":
-        d_vars = discriminator.init(
-            {"params": k_d, "dropout": k_drop},
-            jnp.zeros((1, 1, W * hp.n_mel_channels)))
+        d_in = jnp.zeros((1, 1, W * hp.n_mel_channels))
     else:
-        d_vars = discriminator.init(
-            {"params": k_d, "dropout": k_drop}, mel_ctw)
+        d_in = jnp.zeros((mels.shape[0], pad_T, hp.n_mel_channels))
+    d_vars = jax.jit(discriminator.init)(
+        {"params": k_d, "dropout": k_drop}, d_in)
 
     g_tx = make_optimizer(hp.grad_clip_thresh, hp.weight_decay)
     d_clip = hp.clipping_value if hp.gradient_penalty_lambda <= 0 else 0.0
     d_tx = make_optimizer(d_clip, hp.weight_decay)
 
-    state = GANTrainState(
-        step=jnp.zeros((), jnp.int32),
-        g_params=g_vars["params"],
-        g_batch_stats=g_vars.get("batch_stats", {}),
-        g_opt_state=g_tx.init(g_vars["params"]),
-        d_params=d_vars["params"],
-        d_opt_state=d_tx.init(d_vars["params"]),
-        rng=k_state,
-    )
+    def init_state(g_vars, d_vars):
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            g_batch_stats=g_vars.get("batch_stats", {}),
+            g_opt_state=g_tx.init(g_vars["params"]),
+            d_params=d_vars["params"],
+            d_opt_state=d_tx.init(d_vars["params"]),
+            rng=k_state,
+        )
+
+    state = jax.jit(init_state)(g_vars, d_vars)
     return state, generator, discriminator, g_tx, d_tx

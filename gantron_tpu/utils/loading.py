@@ -44,12 +44,15 @@ def _init_generator_variables(model, hp):
 
     B, T_in = 1, 8
     T_out = 8 * max(1, getattr(hp, "n_frames_per_step", 1))
-    return model.init(
+    # One jitted compile instead of per-parameter eager dispatches (slow on
+    # remote-tunnel devices); see train.state.create_train_state.
+    init = jax.jit(lambda r, *a: model.init(*((r,) + a), train=False))
+    return init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "noise": jax.random.PRNGKey(2)},
         jnp.ones((B, T_in), jnp.int32), jnp.full((B,), T_in, jnp.int32),
         jnp.zeros((B, hp.n_mel_channels, T_out)), jnp.zeros((B,), jnp.int32),
-        jnp.zeros((B, 5)), jnp.full((B,), T_out, jnp.int32), train=False)
+        jnp.zeros((B, 5)), jnp.full((B,), T_out, jnp.int32))
 
 
 def load_generator(checkpoint_path, hp):
@@ -73,14 +76,11 @@ def load_discriminator(checkpoint_path, hp):
     model = make_discriminator(hp)
     W = hp.discriminator_window
     if hp.discriminator_type == "linear":
-        d_vars = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 1, W * hp.n_mel_channels)))
+        d_in = jnp.zeros((1, 1, W * hp.n_mel_channels))
     else:
-        d_vars = model.init(
-            {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros((1, W, hp.n_mel_channels)))
+        d_in = jnp.zeros((1, W, hp.n_mel_channels))
+    d_vars = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, d_in)
     return model, {"params": restore_structure(d_vars["params"],
                                                state["d_params"])}

@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Trained-checkpoint controllability evidence: train one variant of a small
+GANtron on the emotive tone corpus, then run the FULL study_model pipeline
+(generate forced-emotion groups -> Griffin-Lim vocode -> re-extract
+classifier mels -> train a fresh group classifier) on the resulting
+checkpoint and record group-classification accuracy + generation error rate
+(the reference's headline controllability metrics, study_model.py:142-197).
+
+Variants:
+  gan    d_freq=1 (adversarial training on)      -- the main evidence run
+  nogan  d_freq=0 (plain Tacotron2-style)        -- GAN on/off comparison
+  k2/k4  n_frames_per_step=2/4 + GAN             -- K quality/throughput study
+
+Each variant writes <out>/<variant>/evidence.json. Usage:
+  python scripts/evidence_run.py --variant gan -o /tmp/evidence
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "gan": {},
+    "nogan": {"d_freq": 0, "disc_warmp_up": 0},
+    "k2": {"n_frames_per_step": 2},
+    "k4": {"n_frames_per_step": 4},
+}
+
+STUDY_TEXT = "aeioumnst"  # toy-alphabet sentence for generation
+
+
+def mel_sharpness(mel_dir):
+    """Mean squared temporal difference of generated mels — adversarial
+    training should resist the MSE-loss blur (higher = sharper)."""
+    import numpy as np
+
+    vals = []
+    for p in sorted(os.listdir(mel_dir)):
+        if not p.endswith(".npy"):
+            continue
+        m = np.load(os.path.join(mel_dir, p), allow_pickle=True)
+        if m.ndim == 3:
+            m = m[0]
+        if m.shape[1] >= 2:
+            vals.append(float(np.mean(np.diff(m, axis=1) ** 2)))
+    return float(sum(vals) / max(len(vals), 1))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", choices=sorted(VARIANTS), default="gan")
+    parser.add_argument("-o", "--output", default="/tmp/evidence")
+    parser.add_argument("--iterations", type=int, default=3000)
+    parser.add_argument("--n_utts", type=int, default=300)
+    parser.add_argument("--samples", type=int, default=20,
+                        help="study samples per emotion group")
+    parser.add_argument("--classifier_epochs", type=int, default=40)
+    parser.add_argument("--hparams", type=str, default=None)
+    args = parser.parse_args()
+
+    from gantron_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from gantron_tpu.config import ClassifierHParams, HParams
+    from gantron_tpu.data.toy import build_emotive_corpus
+    from gantron_tpu.eval.study import study_model
+    from gantron_tpu.train.checkpoint import CheckpointManager
+    from gantron_tpu.train.loop import train
+    from gantron_tpu.utils.loading import load_generator
+    from gantron_tpu.utils.logging import MetricLogger
+
+    # Corpus is shared across variants (same seed -> same wavs/filelists).
+    corpus_root = os.path.join(args.output, "corpus")
+    os.makedirs(corpus_root, exist_ok=True)
+    vesus_root, lj_empty, train_list, val_list = build_emotive_corpus(
+        corpus_root, n_utts=args.n_utts)
+
+    hp = HParams()
+    hp.add_params(dict(
+        # ~96-dim model: big enough to speak the tone language + use the
+        # emotion vector, small enough to train in minutes.
+        symbols_embedding_dim=96, encoder_embedding_dim=96,
+        encoder_n_convolutions=2, attention_rnn_dim=128, decoder_rnn_dim=128,
+        prenet_dim=48, attention_dim=48, attention_location_n_filters=8,
+        attention_location_kernel_size=15, postnet_embedding_dim=96,
+        postnet_n_convolutions=3, discriminator_dim=96,
+        speakers_embedding=16, n_labels=5,
+        max_decoder_steps=64, use_noise=False, noise_size=0,
+        use_labels=True, use_intended_labels=True, vesus_path=vesus_root,
+        scan_unroll=2, mesh_shape=[1], validation_audio=False,
+        batch_size=16, iterations=args.iterations,
+        iters_per_checkpoint=max(args.iterations // 5, 1),
+        disc_warmp_up=100, attn_steps=args.iterations // 2,
+        g_learning_rate=1e-3, d_learning_rate=7e-4,
+        text_buckets=[12], mel_buckets=[60],
+        training_files=[lj_empty, train_list],
+        validation_files=[lj_empty, val_list],
+    ))
+    hp.add_params(VARIANTS[args.variant])
+    if args.hparams:
+        hp.add_params_string(args.hparams)
+
+    out = os.path.join(args.output, args.variant)
+    logger = MetricLogger(out, run_name=args.variant)
+    t0 = time.time()
+    state, iteration = train(out, None, False, hp, corpus_root + os.sep,
+                             logger=logger)
+    train_seconds = time.time() - t0
+    steps_per_sec = iteration / max(train_seconds, 1e-9)
+
+    # Final validation losses from the JSONL metric log.
+    final_val = {}
+    metrics_path = os.path.join(out, "metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for k in ("Validation mel loss", "Validation gate loss"):
+                    if k in rec:
+                        final_val[k] = rec[k]
+
+    # Study on the trained checkpoint: forced one-hot emotion groups
+    # (int_labels), no noise forcing (use_noise=False in these variants).
+    ckpt_path = CheckpointManager(out).latest()
+    model, variables = load_generator(ckpt_path, hp)
+    study_dir = os.path.join(out, "study")
+    hpc = ClassifierHParams()
+    # Toy utterances are ~30-54 frames; crop within them.
+    hpc.add_params(dict(n_frames=24, batch_size=16))
+    study = study_model(
+        study_dir, model, variables, hp, text=STUDY_TEXT, n_groups=5,
+        samples=args.samples, int_labels=True, predefined=False,
+        force_emotions=True, force_noise=False,
+        classifier_epochs=args.classifier_epochs, seed=0,
+        log_fn=lambda r: logger.info(str(r)), classifier_hp=hpc)
+    study.pop("history", None)
+
+    result = {
+        "variant": args.variant,
+        "hparams": {k: v for k, v in VARIANTS[args.variant].items()},
+        "iterations": iteration,
+        "train_seconds": round(train_seconds, 1),
+        "train_steps_per_sec": round(steps_per_sec, 2),
+        "final_validation": final_val,
+        "study": study,
+        "generated_mel_sharpness": mel_sharpness(
+            os.path.join(study_dir, "GANtronInference")),
+        "n_utts": args.n_utts,
+        "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(out, "evidence.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,9 @@ def main():
     parser.add_argument("--force_noise", default=None, type=str)
     parser.add_argument("--int_labels", action="store_true")
     parser.add_argument("--classifier_epochs", type=int, default=100)
+    parser.add_argument("--classifier_hparams", type=str, default=None,
+                        help="k=v,k=v overrides for the study classifier "
+                             "(e.g. n_frames=24 for short corpora)")
     parser.add_argument("--text", type=str,
                         default="Emotional speech synthesis")
     parser.add_argument("--seed", type=int, default=0)
@@ -38,7 +41,7 @@ def main():
             return None
         return str(v).lower() in ("yes", "true", "t", "y", "1")
 
-    from gantron_tpu.config import HParams
+    from gantron_tpu.config import ClassifierHParams, HParams
     from gantron_tpu.eval.study import study_model
     from gantron_tpu.utils.loading import load_generator
 
@@ -63,7 +66,9 @@ def main():
         force_noise=str2bool(args.force_noise), int_labels=args.int_labels,
         waveglow=waveglow, classifier_epochs=args.classifier_epochs,
         seed=args.seed, log_fn=lambda r: print(r), speaker=args.speaker,
-        waveglow_bs=args.waveglow_bs)
+        waveglow_bs=args.waveglow_bs,
+        classifier_hp=(ClassifierHParams.create(args.classifier_hparams)
+                       if args.classifier_hparams else None))
 
     print(json.dumps({k: v for k, v in metrics.items() if k != "history"},
                      indent=2))
