@@ -104,11 +104,15 @@ class LinearDiscriminator(nn.Module):
             x = jnp.tanh(x)
         return nn.Dense(1, name="out")(x)
 
-    def adversarial_loss(self, mel, target_length, train: bool = True):
+    def adversarial_loss(self, mel, target_length, train: bool = True,
+                         overlaps=None):
         """Sliding windows advancing by window - U{0..6} frames, plus one
         tail window ending at the true length (reference model.py:567-583).
 
-        ``mel``: (B, n_mel, T).
+        ``mel``: (B, n_mel, T). ``overlaps``: optional explicit
+        (B, >=max_windows) int draws in [0, max_window_overlap] replacing the
+        ``windows`` rng stream — the parity tests inject the reference's
+        exact ``random.randint`` draws through this.
         """
         hp = self.hp
         W = hp.discriminator_window
@@ -119,9 +123,12 @@ class LinearDiscriminator(nn.Module):
         min_stride = W - self.max_window_overlap
         max_windows = max(T // min_stride + 1, 1)
 
-        rng = self.make_rng("windows")
-        overlaps = jax.random.randint(rng, (B, max_windows), 0,
-                                      self.max_window_overlap + 1)
+        if overlaps is None:
+            rng = self.make_rng("windows")
+            overlaps = jax.random.randint(rng, (B, max_windows), 0,
+                                          self.max_window_overlap + 1)
+        else:
+            overlaps = jnp.asarray(overlaps, jnp.int32)[:, :max_windows]
         strides = W - overlaps
         starts = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32),

@@ -30,3 +30,12 @@ jax.config.update("jax_default_matmul_precision", "float32")
 from gantron_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the 2-process cluster test FIRST: its workers' coordination
+    heartbeats are the suite's most starvation-sensitive piece on a 1-core
+    host, so give them the machine before the rest of the suite queues up
+    compile work (this is also what keeps the full suite inside one
+    10-minute sitting)."""
+    items.sort(key=lambda it: 0 if "test_multihost" in it.nodeid else 1)

@@ -146,7 +146,9 @@ def _run_cluster(worker, port, tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            # 360 s bounds a cold-cache compile on a loaded 1-core host while
+            # keeping worst-case (2 infra retries) inside the suite budget.
+            out, _ = p.communicate(timeout=360)
             outs.append(out)
     finally:
         for p in procs:
@@ -163,12 +165,19 @@ def test_two_process_data_parallel_step(tmp_path):
     # compiling) can starve the distributed runtime's heartbeats/barriers.
     # Retry ONLY that infrastructure failure mode; numerical or assertion
     # failures inside workers fail immediately.
-    for attempt in range(3):
-        procs, outs = _run_cluster(worker, _free_port(), tmp_path)
+    for attempt in range(2):
+        try:
+            procs, outs = _run_cluster(worker, _free_port(), tmp_path)
+        except subprocess.TimeoutExpired:
+            # A hung worker (starved coordination service) is an infra
+            # failure: retry once, then fail.
+            if attempt == 1:
+                raise
+            continue
         if all(p.returncode == 0 for p in procs):
             break
         infra = any(m in out for out in outs for m in _INFRA_MARKERS)
-        is_last = attempt == 2
+        is_last = attempt == 1
         if not infra or is_last:
             for p, out in zip(procs, outs):
                 assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"

@@ -281,3 +281,66 @@ def test_linear_discriminator_reference_parity():
         False, method=LinearDiscriminator.adversarial_loss,
         rngs={"windows": jax.random.PRNGKey(0)}))
     assert abs(loss - ref_loss) <= 1e-5, (loss, ref_loss)
+
+
+def test_linear_discriminator_nonzero_overlap_parity():
+    """Random-overlap sliding windows with the SAME draws on both sides:
+    the reference consumes ``random.randint(0, 6)`` once per body window,
+    per sample in order (model.py:574-577); we pre-draw an overlap matrix,
+    feed it to the reference through a patched ``random.randint`` in its
+    exact consumption order, and inject it into our implementation's
+    ``overlaps`` parameter."""
+    import random as py_random
+
+    from gantron_tpu.models.discriminator import LinearDiscriminator
+    from gantron_tpu.utils.torch_compat import (
+        linear_discriminator_from_torch)
+
+    ref_model = import_reference()
+    ref_hp = reference_hparams()
+    torch.manual_seed(7)
+    ref_d = ref_model.LinearDiscriminator(ref_hp).eval()
+    sd = {k: v.detach().float().numpy() for k, v in ref_d.state_dict().items()}
+
+    W = ref_hp.discriminator_window
+    max_overlap = 6
+    rng = np.random.RandomState(11)
+    mel = (rng.randn(B, ref_hp.n_mel_channels, D_T) * 1.5 - 6.0).astype(
+        np.float32)
+    lengths = np.asarray(D_LENGTHS, np.int64)
+
+    max_windows = D_T // (W - max_overlap) + 1
+    overlaps = rng.randint(0, max_overlap + 1, (B, max_windows))
+
+    # The reference's consumption order: per sample, one draw after each
+    # body window while start + W < length.
+    consumed = []
+    for b in range(B):
+        start, k = 0, 0
+        while start + W < lengths[b]:
+            consumed.append(int(overlaps[b, k]))
+            start += W - overlaps[b, k]
+            k += 1
+    it = iter(consumed)
+
+    def fake_randint(lo, hi):
+        assert (lo, hi) == (0, max_overlap)
+        return next(it)
+
+    orig = ref_model.random.randint
+    ref_model.random.randint = fake_randint
+    try:
+        with torch.no_grad():
+            ref_loss = float(ref_d.adversarial_loss(
+                torch.from_numpy(mel), torch.from_numpy(lengths)))
+    finally:
+        ref_model.random.randint = orig
+    assert next(it, None) is None  # every draw consumed exactly once
+
+    hp = HParams()
+    ours = LinearDiscriminator(hp, max_window_overlap=max_overlap)
+    params = linear_discriminator_from_torch(sd, hp)
+    loss = float(ours.apply(
+        {"params": params}, jnp.asarray(mel), jnp.asarray(lengths, jnp.int32),
+        False, overlaps, method=LinearDiscriminator.adversarial_loss))
+    assert abs(loss - ref_loss) <= 1e-5, (loss, ref_loss)
