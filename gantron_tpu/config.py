@@ -183,6 +183,11 @@ class HParams:
     # on v5e (fewer loop iterations, cross-step fusion) at the cost of longer
     # compiles. Tests use 1-2 for fast compilation.
     scan_unroll: int = 8
+    # Serving lever: store the decoder's four large recurrence matrices as
+    # per-channel int8 inside the inference scan. The sequential decode floor
+    # is HBM traffic on exactly these weights, so this halves it; decode
+    # output deviation is bounded by tests/test_quant.py. Off by default.
+    quantized_inference: bool = False
     # Defer the decoder scan's big weight gradients (LSTM matrices, attention
     # query projection) to post-scan batched matmuls instead of per-step
     # accumulator updates inside the backward scan — ~28% of the G-step

@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from gantron_tpu.models.modules import (BatchNorm, ConvNorm, dropout,
                                         xavier_uniform)
+from gantron_tpu.ops.quant import matmul_rhs, quantize_per_channel
 from gantron_tpu.ops.rnn import (LSTMParams, lstm_params_init, masked_bilstm)
 
 N_EMOTIONS = 5
@@ -168,19 +169,27 @@ class Decoder(nn.Module):
         conv+matmul inside the scan (fewer per-step ops and residuals)."""
         return jnp.einsum("kcf,fa->kca", self.loc_conv_w, self.loc_dense_w)
 
-    def _scan_weights(self, stop_big: bool = False) -> ScanWeights:
+    def _scan_weights(self, stop_big: bool = False,
+                      quantize: bool = False) -> ScanWeights:
         """Bundle the in-scan weights; ``stop_big=True`` detaches the five
-        large matrices for deferred-dW training (values are unchanged)."""
+        large matrices for deferred-dW training (values are unchanged).
+
+        ``quantize=True`` stores the four large recurrence matrices as
+        per-channel int8 (ops/quant.py): the decoder's sequential steps are
+        HBM-bound on streaming exactly these weights, so int8 halves the
+        per-step floor. Opt-in serving lever (``hp.quantized_inference``)."""
         P = self.hp.prenet_dim
         sg = jax.lax.stop_gradient if stop_big else (lambda x: x)
+        big = ((lambda w: quantize_per_channel(sg(w))) if quantize
+               else (lambda w: sg(w)))
         return ScanWeights(
-            wc=sg(self.attention_rnn.w_ih[P:]),
-            wh1=sg(self.attention_rnn.w_hh),
+            wc=big(self.attention_rnn.w_ih[P:]),
+            wh1=big(self.attention_rnn.w_hh),
             wq=sg(self.query_w),
             v=self.v_w,
             loc_kernel=self._merged_location_kernel(),
-            w2ih=sg(self.decoder_rnn.w_ih),
-            w2hh=sg(self.decoder_rnn.w_hh),
+            w2ih=big(self.decoder_rnn.w_ih),
+            w2hh=big(self.decoder_rnn.w_hh),
             b2=self.decoder_rnn.b)
 
     def _location(self, attn_w, attn_w_cum, loc_kernel):
@@ -225,7 +234,8 @@ class Decoder(nn.Module):
         instead of accumulating the full dW matrices step by step.
         """
         attn_h, attn_c, dec_h, dec_c, attn_w, attn_w_cum, context = carry
-        gates = attn_in_proj + context @ W.wc + attn_h @ W.wh1
+        gates = (attn_in_proj + matmul_rhs(context, W.wc)
+                 + matmul_rhs(attn_h, W.wh1))
         if z1 is not None:
             gates = gates + z1
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -240,7 +250,8 @@ class Decoder(nn.Module):
         attn_w_cum = attn_w_cum + attn_w_new
 
         dec_in = jnp.concatenate([attn_h, context], axis=-1)
-        gates2 = dec_in @ W.w2ih + dec_h @ W.w2hh + W.b2
+        gates2 = (matmul_rhs(dec_in, W.w2ih) + matmul_rhs(dec_h, W.w2hh)
+                  + W.b2)
         if z2 is not None:
             gates2 = gates2 + z2
         i, f, g, o = jnp.split(gates2, 4, axis=-1)
@@ -344,7 +355,8 @@ class Decoder(nn.Module):
         S = max_steps or hp.max_decoder_steps
         K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
-        W = self._scan_weights()
+        W = self._scan_weights(
+            quantize=getattr(hp, "quantized_inference", False))
         P = hp.prenet_dim
 
         keys = jax.random.split(dropout_rng, S)
@@ -400,7 +412,8 @@ class Decoder(nn.Module):
         S = max_steps or hp.max_decoder_steps
         K = getattr(hp, "n_frames_per_step", 1)
         processed_memory = memory @ self.memory_w
-        W = self._scan_weights()
+        W = self._scan_weights(
+            quantize=getattr(hp, "quantized_inference", False))
         P = hp.prenet_dim
 
         state0 = self._init_state(memory)

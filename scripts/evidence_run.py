@@ -117,7 +117,7 @@ def main():
 
     # Final validation losses from the JSONL metric log.
     final_val = {}
-    metrics_path = os.path.join(out, "metrics.jsonl")
+    metrics_path = os.path.join(out, f"{args.variant}.metrics.jsonl")
     if os.path.exists(metrics_path):
         with open(metrics_path) as f:
             for line in f:
