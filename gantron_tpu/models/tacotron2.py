@@ -399,6 +399,71 @@ class Decoder(nn.Module):
         return (mel_bmt, jnp.repeat(gates.T, K, axis=1),
                 attn_ws.transpose(1, 0, 2), lengths * K)
 
+    # -- streaming inference -------------------------------------------------
+    def infer_init(self, memory, cap: int):
+        """Initial carry for segmented (streaming) decoding: the same layout
+        the ``infer`` scan carries, with ``length`` defaulting to the overall
+        decoder cap."""
+        hp = self.hp
+        B = memory.shape[0]
+        K = getattr(hp, "n_frames_per_step", 1)
+        return (self._init_state(memory),
+                jnp.zeros((B, K * hp.n_mel_channels), memory.dtype),
+                jnp.zeros((B,), bool),
+                jnp.full((B,), cap, jnp.int32),
+                jnp.int32(0))
+
+    def infer_segment(self, memory, carry, dropout_rng, n_steps: int):
+        """Run ``n_steps`` decoder steps from ``carry`` (streaming synthesis:
+        the caller vocodes each mel segment while the next one decodes,
+        giving time-to-first-audio ~ one segment instead of the full
+        utterance). Per-step dropout keys derive from the absolute step index
+        (``fold_in(rng, t)``) so the decode stream is invariant to the
+        segment size.
+
+        Returns (carry, mel (B, n_mel, n_steps*K), gate (B, n_steps*K),
+        attn (B, n_steps, T_in), lengths (B,), all_finished ()).
+        """
+        hp = self.hp
+        B, T_in, _ = memory.shape
+        K = getattr(hp, "n_frames_per_step", 1)
+        processed_memory = memory @ self.memory_w
+        W = self._scan_weights(
+            quantize=getattr(hp, "quantized_inference", False))
+        P = hp.prenet_dim
+
+        def step(scarry, _):
+            state, prev, finished, length, t = scarry
+            k_pre, k_core = jax.random.split(
+                jax.random.fold_in(dropout_rng, t))
+            prenet_t = self._prenet(prev, k_pre)
+            proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
+                      + self.attention_rnn.b)
+            state = self._step_core(state, proj_t, k_core, memory,
+                                    processed_memory, None, False, W)
+            dec_h, context, attn_w = state[2], state[6], state[4]
+            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
+            mel_t = hidden_ctx @ self.proj_w + self.proj_b
+            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
+
+            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
+            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
+            length = jnp.where(newly, t + 1, length)
+            mel_rec = jnp.where(finished[:, None], 0.0, mel_t)
+            finished = jnp.logical_or(finished, stop_now)
+            return ((state, mel_t, finished, length, t + 1),
+                    (mel_rec, gate_t, attn_w))
+
+        carry, (mels, gates, attn_ws) = jax.lax.scan(
+            step, carry, None, length=n_steps,
+            unroll=getattr(self.hp, "scan_unroll", 1))
+        mel_bmt = mels.transpose(1, 0, 2).reshape(
+            B, n_steps * K, hp.n_mel_channels).transpose(0, 2, 1)
+        lengths = carry[3]
+        return (carry, mel_bmt, jnp.repeat(gates.T, K, axis=1),
+                attn_ws.transpose(1, 0, 2), lengths * K,
+                jnp.all(carry[2]))
+
     def infer_early_exit(self, memory, dropout_rng,
                          max_steps: Optional[int] = None):
         """Like ``infer`` but with a ``lax.while_loop`` that stops as soon as
@@ -615,14 +680,11 @@ class Tacotron2(nn.Module):
         return outputs
 
     # -- inference ----------------------------------------------------------
-    def infer(self, text, style=None, emotions=None, speaker=None,
-              max_steps: Optional[int] = None, early_exit: bool = False):
-        """Open-loop inference (reference model.py:675-723).
-
-        ``text``: (B, T) int32 symbol ids. ``style``: optional (B, 1, noise)
-        or (B, T, noise). Returns [mel, mel_postnet, gate, alignments,
-        mel_lengths].
-        """
+    def encode_memory(self, text, style=None, emotions=None, speaker=None):
+        """Text -> decoder memory with all conditioning concats applied (the
+        first half of ``infer``; also the setup step of streaming synthesis).
+        Returns (memory, k_dec, k_post) — the decode/postnet dropout keys
+        derived from this call's rng stream."""
         hp = self.hp
         B, T = text.shape
         dropout_rng = self.make_rng("dropout")
@@ -651,7 +713,18 @@ class Tacotron2(nn.Module):
         memory = self._memory_side_concat(encoder_outputs, spk,
                                           None if hp.encoder_inputs else emotions,
                                           noise_rng, mem_style)
+        return memory, k_dec, k_post
 
+    def infer(self, text, style=None, emotions=None, speaker=None,
+              max_steps: Optional[int] = None, early_exit: bool = False):
+        """Open-loop inference (reference model.py:675-723).
+
+        ``text``: (B, T) int32 symbol ids. ``style``: optional (B, 1, noise)
+        or (B, T, noise). Returns [mel, mel_postnet, gate, alignments,
+        mel_lengths].
+        """
+        memory, k_dec, k_post = self.encode_memory(text, style, emotions,
+                                                   speaker)
         decode = (self.decoder.infer_early_exit if early_exit
                   else self.decoder.infer)
         mel_outputs, gate_outputs, alignments, mel_lengths = decode(
@@ -662,3 +735,23 @@ class Tacotron2(nn.Module):
 
         return [mel_outputs, mel_outputs_postnet, gate_outputs, alignments,
                 mel_lengths]
+
+    def decode_segment(self, memory, carry, n_steps: int, seg_rng=None):
+        """Streaming: advance the decoder ``n_steps`` from ``carry`` (see
+        ``Decoder.infer_segment``). ``seg_rng`` defaults to this call's
+        ``dropout`` rng; pass the k_dec from ``encode_memory`` for a decode
+        stream independent of segmentation."""
+        if seg_rng is None:
+            seg_rng = self.make_rng("dropout")
+        return self.decoder.infer_segment(memory, carry, seg_rng, n_steps)
+
+    def decode_init(self, memory, cap: int):
+        return self.decoder.infer_init(memory, cap)
+
+    def postnet_residual(self, mel_bmt):
+        """Postnet applied to a (B, n_mel, T) window; streaming synthesis
+        calls this on overlapping mel windows (the postnet's receptive field
+        is n_convs*(kernel-1)/2 frames per side)."""
+        post = self.postnet(mel_bmt.transpose(0, 2, 1), False,
+                            jax.random.PRNGKey(0))
+        return mel_bmt + post.transpose(0, 2, 1)

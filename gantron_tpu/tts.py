@@ -90,3 +90,135 @@ class Synthesizer:
         return np.asarray(mel_to_wav_griffin_lim(
             jnp.asarray(mel)[None], self.mel_fn, n_iters=griffin_lim_iters,
             key=jax.random.PRNGKey(seed)))[0]
+
+
+class StreamingSynthesizer:
+    """Chunked text->wav for low time-to-first-audio serving.
+
+    The reference synthesizes the whole utterance before any audio exists
+    (inference_samples.py:111-124: full decode -> full WaveGlow pass). Here
+    the decoder advances ``chunk`` steps at a time (Decoder.infer_segment);
+    each new mel segment is vocoded immediately with ``lookback`` frames of
+    left context (the postnet and WaveGlow are convolutional, so context
+    makes the kept interior match the full-utterance result away from chunk
+    boundaries), and the context samples are discarded. Time-to-first-audio
+    becomes ~ encode + one segment + one window vocode instead of the whole
+    utterance.
+
+    Chunk boundaries are not bit-exact vs. offline synthesis: WaveGlow's
+    per-window z draws differ, and its receptive field exceeds any practical
+    lookback. A short equal-power crossfade smooths the seams.
+    """
+
+    def __init__(self, model, variables, hp, waveglow=None, chunk: int = 40,
+                 lookback: int = 16, sigma: float = 0.666,
+                 crossfade: int = 128, griffin_lim_iters: int = 30):
+        self.model, self.variables, self.hp = model, variables, hp
+        self.waveglow = waveglow
+        self.chunk, self.lookback = chunk, lookback
+        self.sigma = sigma
+        self.crossfade = crossfade
+        self.griffin_lim_iters = griffin_lim_iters
+        self.mel_fn = MelSpectrogram(
+            hp.filter_length, hp.hop_length, hp.win_length,
+            hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax)
+
+        self._encode = jax.jit(lambda v, text, kd, kn: model.apply(
+            v, text, method=model.encode_memory,
+            rngs={"dropout": kd, "noise": kn}))
+        self._init = jax.jit(
+            lambda v, memory, cap: model.apply(
+                v, memory, cap, method=model.decode_init),
+            static_argnums=(2,))
+        self._segment = jax.jit(
+            lambda v, memory, carry, k: model.apply(
+                v, memory, carry, chunk, k, method=model.decode_segment))
+        self._postnet = jax.jit(lambda v, mel: model.apply(
+            v, mel, method=model.postnet_residual))
+
+    def _vocode(self, mel_win, key):
+        if self.waveglow is not None:
+            return self.waveglow.infer(mel_win, self.sigma, key)
+        return mel_to_wav_griffin_lim(mel_win, self.mel_fn,
+                                      n_iters=self.griffin_lim_iters,
+                                      key=key)
+
+    def stream(self, text, seed: int = 0, max_steps: Optional[int] = None):
+        """Generator over (B, chunk*K*hop_length) float32 wav chunks; yields
+        as soon as each chunk's audio is materialized. ``text``: str or
+        (B, T) int32 ids. The final ``lengths`` (valid frames per sample)
+        are available as ``self.last_lengths`` after exhaustion."""
+        hp = self.hp
+        if isinstance(text, str):
+            ids = np.asarray(text_to_sequence(text, hp.text_cleaners),
+                             np.int32)[None]
+        else:
+            ids = np.asarray(text, np.int32)
+            if ids.ndim == 1:
+                ids = ids[None]
+        cap = max_steps or hp.max_decoder_steps
+        K = getattr(hp, "n_frames_per_step", 1)
+        hop = hp.hop_length
+        lb = self.lookback
+        key = jax.random.PRNGKey(seed)
+        kd, kn, kv = (jax.random.fold_in(key, i) for i in range(3))
+
+        memory, k_dec, _ = self._encode(self.variables, jnp.asarray(ids), kd,
+                                        kn)
+        carry = self._init(self.variables, memory, cap)
+        B = ids.shape[0]
+        tail = jnp.zeros((B, hp.n_mel_channels, lb), memory.dtype)
+        held = None  # last xf samples, held back for seam blending
+        steps = 0
+        xf = min(self.crossfade, lb * hop)
+        self.last_lengths = np.full((B,), cap * K, np.int64)
+        while steps < cap:
+            carry, mel_seg, _, _, lengths, finished = self._segment(
+                self.variables, memory, carry, k_dec)
+            window = jnp.concatenate([tail, mel_seg], axis=2)
+            post_win = self._postnet(self.variables, window)
+            wav_win = self._vocode(post_win, jax.random.fold_in(kv, steps))
+            # Vocoders differ in edge handling (Griffin-Lim's ISTFT yields
+            # (T-1)*hop samples, WaveGlow T*hop); shift the kept region so
+            # consecutive chunks tile the waveform without gaps.
+            shift = max((lb + self.chunk * K) * hop - wav_win.shape[1], 0)
+            start = max(lb * hop - shift, 0)
+            wav = np.asarray(wav_win[:, start: start + self.chunk * K * hop])
+            tail = window[:, :, -lb:]
+            steps += self.chunk
+            self.last_lengths = np.asarray(lengths)
+            xf = min(xf, start)
+            if held is not None and xf:
+                # This window's lookback region re-synthesizes the held-back
+                # samples; equal-power blend toward the new version so the
+                # transition across the seam is continuous.
+                t = np.linspace(0.0, 1.0, xf, dtype=np.float32)
+                redo = np.asarray(wav_win[:, start - xf: start])
+                held = held * np.sqrt(1.0 - t) + redo * np.sqrt(t)
+                wav = np.concatenate([held, wav], axis=1)
+            if xf:
+                held = wav[:, -xf:]
+                wav = wav[:, :-xf]
+            yield wav
+            if bool(finished):
+                break
+        if held is not None and xf:
+            yield held
+
+    def synthesize(self, text, seed: int = 0,
+                   max_steps: Optional[int] = None):
+        """Collect the stream; returns (wav (B, T_samples) trimmed to the
+        decoded lengths, ttfa_seconds, total_seconds)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        ttfa = None
+        chunks = []
+        for chunk in self.stream(text, seed=seed, max_steps=max_steps):
+            if ttfa is None:
+                ttfa = _time.perf_counter() - t0
+            chunks.append(chunk)
+        total = _time.perf_counter() - t0
+        wav = np.concatenate(chunks, axis=1)
+        n = int(self.last_lengths.max()) * self.hp.hop_length
+        return wav[:, :n], ttfa, total

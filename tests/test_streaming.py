@@ -1,0 +1,72 @@
+"""Streaming synthesis (segmented decode + chunked vocoding, tts.py
+StreamingSynthesizer). The reference has no streaming path — it synthesizes
+the full utterance before any audio exists (inference_samples.py:111-124)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gantron_tpu.tts import StreamingSynthesizer
+from test_model import init_and_apply, make_batch, tiny_hp
+
+
+def _setup(**over):
+    hp = tiny_hp(**over)
+    batch = make_batch(hp)
+    model, variables, _ = init_and_apply(hp, batch, train=False)
+    return hp, model, variables, batch[0][:1]
+
+
+def test_segmented_decode_is_chunk_size_invariant():
+    """Per-step keys derive from the absolute step index, so decoding in
+    4-step segments must produce bit-identical mels to 8-step segments."""
+    hp, model, variables, text = _setup()
+    k = jax.random.PRNGKey(3)
+    memory, k_dec, _ = model.apply(
+        variables, text, method=model.encode_memory,
+        rngs={"dropout": jax.random.fold_in(k, 0),
+              "noise": jax.random.fold_in(k, 1)})
+
+    def run(chunk, n_chunks):
+        carry = model.apply(variables, memory, 40, method=model.decode_init)
+        segs = []
+        for _ in range(n_chunks):
+            carry, mel_seg, *_ = model.apply(
+                variables, memory, carry, chunk, k_dec,
+                method=model.decode_segment)
+            segs.append(np.asarray(mel_seg))
+        return np.concatenate(segs, axis=2)
+
+    np.testing.assert_allclose(run(4, 4), run(8, 2), atol=1e-5)
+
+
+def test_streaming_synthesize_ttfa_and_shape():
+    hp, model, variables, text = _setup(max_decoder_steps=24)
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=None,
+                                 chunk=8, lookback=4, crossfade=64,
+                                 griffin_lim_iters=2)
+    chunks = list(synth.stream(np.asarray(text), seed=0))
+    assert len(chunks) >= 2  # streamed, not monolithic
+    total = sum(c.shape[1] for c in chunks)
+    # All emitted samples are whole segments: 24 steps * hop each at cap.
+    assert total % hp.hop_length == 0
+    assert total <= 24 * hp.hop_length
+    assert all(c.dtype == np.float32 for c in chunks)
+
+    wav, ttfa, total_s = synth.synthesize(np.asarray(text), seed=0)
+    assert wav.ndim == 2 and wav.shape[0] == 1
+    assert 0 < ttfa <= total_s
+    assert wav.shape[1] <= int(synth.last_lengths.max()) * hp.hop_length
+
+
+def test_streaming_gate_stop_matches_cap_behavior():
+    """With an untrained model the gate rarely fires; the stream must stop
+    at the cap and report cap-length outputs."""
+    hp, model, variables, text = _setup(max_decoder_steps=16)
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=None,
+                                 chunk=8, lookback=4, crossfade=0,
+                                 griffin_lim_iters=2)
+    chunks = list(synth.stream(np.asarray(text), seed=1))
+    total = sum(c.shape[1] for c in chunks)
+    assert total == 16 * hp.hop_length
