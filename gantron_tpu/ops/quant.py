@@ -57,8 +57,18 @@ def qmatmul(x, qm: QuantizedMatrix):
 
 
 def matmul_rhs(x, w):
-    """Dispatch: plain array or QuantizedMatrix right-hand side."""
+    """Dispatch: plain array or QuantizedMatrix right-hand side.
+
+    On TPU the quantized path MUST go through the Pallas kernel: with the
+    plain-XLA dequant inside a scan body, XLA's loop-invariant code motion
+    hoists ``q * scale`` out of the loop and materializes the full-precision
+    weight copy in HBM — the scan then streams the SAME bytes as the
+    unquantized model plus the dequant overhead (measured: 0.0172 vs 0.0148
+    baseline RTF). The opaque kernel pins the int8 read per step.
+    """
     if isinstance(w, QuantizedMatrix):
+        if x.ndim == 2 and jax.default_backend() == "tpu":
+            return qmatmul_pallas(x, w)
         return qmatmul(x, w)
     return x @ w
 

@@ -136,6 +136,23 @@ class StreamingSynthesizer:
         self._postnet = jax.jit(lambda v, mel: model.apply(
             v, mel, method=model.postnet_residual))
 
+        def pipeline(v, memory, carry, tail, k_dec, k_voc):
+            """One segment end to end: decode -> postnet window -> vocode.
+            The three stages stay separate jits (fusing the decoder scan and
+            the 12-flow WaveGlow graph into one program compiles for many
+            minutes); dispatch is asynchronous, so the stream loop still
+            needs only ONE blocking round-trip per chunk — the wav fetch.
+            Per-sync latency dominates streaming on remote-attached devices.
+            """
+            carry, mel_seg, _, _, lengths, finished = self._segment(
+                v, memory, carry, k_dec)
+            window = jnp.concatenate([tail, mel_seg], axis=2)
+            wav_win = self._vocode(self._postnet(v, window), k_voc)
+            return (carry, window[:, :, -lookback:], wav_win, lengths,
+                    finished)
+
+        self._pipeline = pipeline
+
     def _vocode(self, mel_win, key):
         if self.waveglow is not None:
             return self.waveglow.infer(mel_win, self.sigma, key)
@@ -173,34 +190,36 @@ class StreamingSynthesizer:
         xf = min(self.crossfade, lb * hop)
         self.last_lengths = np.full((B,), cap * K, np.int64)
         while steps < cap:
-            carry, mel_seg, _, _, lengths, finished = self._segment(
-                self.variables, memory, carry, k_dec)
-            window = jnp.concatenate([tail, mel_seg], axis=2)
-            post_win = self._postnet(self.variables, window)
-            wav_win = self._vocode(post_win, jax.random.fold_in(kv, steps))
+            carry, tail, wav_win, lengths, finished = self._pipeline(
+                self.variables, memory, carry, tail, k_dec,
+                jax.random.fold_in(kv, steps))
+            # ONE blocking round-trip per chunk: wav + stop flag + lengths
+            # fetched together (each separate sync costs a full network
+            # round-trip on remote-attached devices).
+            wav_win_h, lengths_h, finished_h = jax.device_get(
+                (wav_win, lengths, finished))
             # Vocoders differ in edge handling (Griffin-Lim's ISTFT yields
             # (T-1)*hop samples, WaveGlow T*hop); shift the kept region so
             # consecutive chunks tile the waveform without gaps.
-            shift = max((lb + self.chunk * K) * hop - wav_win.shape[1], 0)
+            shift = max((lb + self.chunk * K) * hop - wav_win_h.shape[1], 0)
             start = max(lb * hop - shift, 0)
-            wav = np.asarray(wav_win[:, start: start + self.chunk * K * hop])
-            tail = window[:, :, -lb:]
+            wav = wav_win_h[:, start: start + self.chunk * K * hop]
             steps += self.chunk
-            self.last_lengths = np.asarray(lengths)
+            self.last_lengths = np.asarray(lengths_h)
             xf = min(xf, start)
             if held is not None and xf:
                 # This window's lookback region re-synthesizes the held-back
                 # samples; equal-power blend toward the new version so the
                 # transition across the seam is continuous.
                 t = np.linspace(0.0, 1.0, xf, dtype=np.float32)
-                redo = np.asarray(wav_win[:, start - xf: start])
+                redo = wav_win_h[:, start - xf: start]
                 held = held * np.sqrt(1.0 - t) + redo * np.sqrt(t)
                 wav = np.concatenate([held, wav], axis=1)
             if xf:
                 held = wav[:, -xf:]
                 wav = wav[:, :-xf]
             yield wav
-            if bool(finished):
+            if bool(finished_h):
                 break
         if held is not None and xf:
             yield held
