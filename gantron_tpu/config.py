@@ -206,6 +206,19 @@ class HParams:
     # -- Reference-compatible override API ---------------------------------
     # (reference hparams.py:118-149)
     def add_param(self, param: str, value: Any) -> None:
+        fld = getattr(type(self), "__dataclass_fields__", {}).get(param)
+        if (fld is not None and isinstance(value, str)
+                and "List" in str(fld.type)):
+            # Path-valued overrides of list fields reach here as raw strings
+            # (the reference parser — mirrored in _parse_value — never
+            # literal_evals a value containing "/", hparams.py:121, which
+            # made ``training_files=[/a.txt]`` impossible to set from the
+            # CLI there). Accept ``files=[/a.txt,/b.txt]`` and bare
+            # ``files=/a.txt`` for fields the schema declares as lists.
+            inner = (value[1:-1] if value[:1] == "[" and value[-1:] == "]"
+                     else value)
+            value = [p.strip().strip("'\"") for p in inner.split(",")
+                     if p.strip()]
         object.__setattr__(self, param, value)
 
     def add_params_string(self, hparams_string: str) -> None:

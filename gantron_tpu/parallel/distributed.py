@@ -50,3 +50,29 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 def is_chief() -> bool:
     """True on the process that should log/checkpoint (reference rank==0)."""
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Block until every process reaches this barrier.
+
+    Coordination-service based (NOT a device collective), so it works before
+    any compiled program runs. Use it to line processes up right before the
+    first collective-bearing execution: XLA's CPU Gloo transport gives a
+    peer only ~30 s to show up at context init — far less than a cold jit
+    compile — while this barrier's deadline is generous and configurable.
+    The pattern (exercised by tests/test_multihost.py) is::
+
+        compiled = jax.jit(step).lower(*args).compile()   # no comms yet
+        barrier("step_compiled")                          # absorb skew
+        out = compiled(*args)                             # peers in lockstep
+
+    Single-process runs and uninitialized clusters are no-ops.
+    """
+    if jax.process_count() < 2:
+        return
+    from jax._src import distributed as _internal
+
+    client = getattr(_internal.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(f"gantron_barrier:{name}", int(timeout_s * 1000))

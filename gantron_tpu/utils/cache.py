@@ -17,15 +17,15 @@ DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 def enable_compilation_cache(cache_dir: str = None):
     cache_dir = cache_dir or os.environ.get("GANTRON_JAX_CACHE",
                                             DEFAULT_CACHE_DIR)
-    try:
-        # Multi-process runs compile the same programs concurrently; give
-        # each process its own directory so cache writes never race.
-        # (process_count touches the backend — callers run after
-        # jax.distributed.initialize, see train.py.)
-        if jax.process_count() > 1:
-            cache_dir = os.path.join(cache_dir, f"proc{jax.process_index()}")
-    except Exception:
-        pass
+    # Multi-process runs share ONE directory deliberately: JAX's persistent
+    # cache writes entries via temp-file + atomic rename, so concurrent
+    # writers are safe, and a shared cache keeps every process's compile
+    # time symmetric. Per-process directories (an earlier design) are a
+    # trap: once one process's cache is warm and another's is cold, the warm
+    # one reaches the first cross-process collective minutes early and the
+    # Gloo/ICI transport times out waiting for the cold one — and the cold
+    # cache never heals because the cluster dies before its compile
+    # finishes. See tests/test_multihost.py.
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -51,9 +51,9 @@ assert is_chief() == (pid == 0)
 
 from gantron_tpu.utils.cache import enable_compilation_cache
 
-# Per-process cache dir: two processes compiling the same programs must not
-# race on the same cache files.
-enable_compilation_cache(os.path.join(repo, ".jax_cache", f"mp{pid}"))
+# SHARED cache dir (JAX cache writes are atomic): keeps both workers'
+# compile times symmetric — see the warning in utils/cache.py.
+enable_compilation_cache()
 
 import numpy as np
 import jax.numpy as jnp
@@ -95,9 +95,20 @@ mesh = make_mesh()  # global: spans both processes' devices
 state = shard_state(jax.device_get(state), mesh)
 gbatch = shard_batch(jax.device_get(batch), mesh)
 
+# Precompile WITHOUT executing, then line both processes up at a
+# coordination barrier before the first collective runs: the Gloo CPU
+# transport only waits ~30 s for a peer at context init, so any compile
+# skew (cold vs warm cache, scheduler noise on a 1-core host) past that
+# would kill the cluster. The barrier's deadline absorbs the skew; after
+# it, both processes execute within milliseconds of each other.
+from gantron_tpu.parallel import barrier
+
 g_step = jax.jit(g_step_fn)
-state, metrics, gen_mel = g_step(state, gbatch, jnp.float32(1e-3),
-                                 jnp.float32(10.0))
+g_compiled = g_step.lower(state, gbatch, jnp.float32(1e-3),
+                          jnp.float32(10.0)).compile()
+barrier("g_step_compiled", timeout_s=600.0)
+state, metrics, gen_mel = g_compiled(state, gbatch, jnp.float32(1e-3),
+                                     jnp.float32(10.0))
 g_loss = float(metrics["generator_loss"])
 assert np.isfinite(g_loss)
 

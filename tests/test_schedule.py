@@ -82,3 +82,24 @@ def test_hparams_list_overrides_parse():
     assert hp.text_buckets == [16, 32]
     assert hp.mesh_shape == [2, 4]
     assert hp.batch_size == 8 and hp.use_noise is True
+
+
+def test_hparams_path_list_overrides_parse():
+    """Path values never go through literal_eval (reference hparams.py:121),
+    so list-of-paths fields need type-aware coercion: both bracket syntax
+    and a bare single path must land as real lists (the reference cannot
+    set training_files from the CLI at all)."""
+    from gantron_tpu.config import ClassifierHParams, HParams
+
+    hp = HParams.create(
+        "training_files=[/tmp/a.txt,/tmp/b.txt],validation_files=/tmp/v.txt,"
+        "batch_size=4")
+    assert hp.training_files == ["/tmp/a.txt", "/tmp/b.txt"]
+    assert hp.validation_files == ["/tmp/v.txt"]
+    assert hp.batch_size == 4
+    # Non-list str fields must NOT be coerced.
+    hp.add_params_string("vesus_path=/data/vesus/")
+    assert hp.vesus_path == "/data/vesus/"
+
+    chp = ClassifierHParams.create("training_files=[/x/t.txt]")
+    assert chp.training_files == ["/x/t.txt"]
