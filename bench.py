@@ -32,8 +32,10 @@ V100_BASELINE_STEPS_PER_SEC = 1.8
 BATCH = 32
 T_IN = 128
 T_OUT = 640
-WARMUP_CYCLES = 2
-TIMED_CYCLES = 8  # each cycle = 2 G steps + 1 D step
+WARMUP_CYCLES = 4   # first post-compile cycles run slow (device ramp +
+                    # tunnel settling); measured spread without the longer
+                    # warmup was 15.7-17.2 steps/s on identical code
+TIMED_CYCLES = 12  # each cycle = 2 G steps + 1 D step
 
 
 def make_batch(hp, seed=0, B=None):
