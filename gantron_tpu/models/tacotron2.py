@@ -344,6 +344,39 @@ class Decoder(nn.Module):
         return outs + (dw_aux,)
 
     # -- free-running inference ---------------------------------------------
+    def _open_step(self, carry, k_pre, k_core, memory, processed_memory, W):
+        """ONE open-loop decoder step — the shared body of ``infer``
+        (scan), ``infer_early_exit`` (while_loop) and ``infer_segment``
+        (streaming). Callers differ only in how they derive the per-step
+        dropout keys and where they put the outputs; keeping a single body
+        guarantees the three decode modes cannot drift.
+
+        carry: (state, prev_frame, finished, length, t). Returns
+        (next_carry, (mel_rec, gate_t, attn_w)) where ``mel_rec`` has frames
+        past each sample's stop zeroed so the postnet sees the same zero
+        context as the reference's length-n buffer (model.py:478-497 stops
+        producing frames at the gate).
+        """
+        hp = self.hp
+        P = hp.prenet_dim
+        state, prev, finished, length, t = carry
+        prenet_t = self._prenet(prev, k_pre)
+        proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
+        state = self._step_core(state, proj_t, k_core, memory,
+                                processed_memory, None, False, W)
+        dec_h, context, attn_w = state[2], state[6], state[4]
+        hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
+        mel_t = hidden_ctx @ self.proj_w + self.proj_b
+        gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
+
+        stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
+        newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
+        length = jnp.where(newly, t + 1, length)
+        mel_rec = jnp.where(finished[:, None], 0.0, mel_t)
+        finished = jnp.logical_or(finished, stop_now)
+        return ((state, mel_t, finished, length, t + 1),
+                (mel_rec, gate_t, attn_w))
+
     def infer(self, memory, dropout_rng, max_steps: Optional[int] = None):
         """Open-loop decoding with on-device gate stopping.
 
@@ -357,7 +390,6 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
-        P = hp.prenet_dim
 
         keys = jax.random.split(dropout_rng, S)
         state0 = self._init_state(memory)
@@ -365,29 +397,10 @@ class Decoder(nn.Module):
         finished0 = jnp.zeros((B,), bool)
         length0 = jnp.full((B,), S, jnp.int32)
 
-        def step(carry, xs):
-            state, prev, finished, length, t = carry
-            key_t = xs
+        def step(carry, key_t):
             k_pre, k_core = jax.random.split(key_t)
-            prenet_t = self._prenet(prev, k_pre)
-            proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
-            state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False, W)
-            dec_h, context, attn_w = state[2], state[6], state[4]
-            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
-            mel_t = hidden_ctx @ self.proj_w + self.proj_b
-            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
-
-            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
-            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
-            length = jnp.where(newly, t + 1, length)
-            # Frames past each sample's stop are zeroed so the postnet sees
-            # the same zero context as the reference's length-n buffer
-            # (model.py:478-497 stops producing frames at the gate).
-            mel_rec = jnp.where(finished[:, None], 0.0, mel_t)
-            finished = jnp.logical_or(finished, stop_now)
-            return ((state, mel_t, finished, length, t + 1),
-                    (mel_rec, gate_t, attn_w))
+            return self._open_step(carry, k_pre, k_core, memory,
+                                   processed_memory, W)
 
         (_, _, _, lengths, _), (mels, gates, attn_ws) = jax.lax.scan(
             step, (state0, prev0, finished0, length0, jnp.int32(0)), keys,
@@ -430,29 +443,14 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
-        P = hp.prenet_dim
 
         def step(scarry, _):
-            state, prev, finished, length, t = scarry
+            # Keys derive from the ABSOLUTE step index so the decode stream
+            # is invariant to the segment size.
             k_pre, k_core = jax.random.split(
-                jax.random.fold_in(dropout_rng, t))
-            prenet_t = self._prenet(prev, k_pre)
-            proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
-                      + self.attention_rnn.b)
-            state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False, W)
-            dec_h, context, attn_w = state[2], state[6], state[4]
-            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
-            mel_t = hidden_ctx @ self.proj_w + self.proj_b
-            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
-
-            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
-            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
-            length = jnp.where(newly, t + 1, length)
-            mel_rec = jnp.where(finished[:, None], 0.0, mel_t)
-            finished = jnp.logical_or(finished, stop_now)
-            return ((state, mel_t, finished, length, t + 1),
-                    (mel_rec, gate_t, attn_w))
+                jax.random.fold_in(dropout_rng, scarry[4]))
+            return self._open_step(scarry, k_pre, k_core, memory,
+                                   processed_memory, W)
 
         carry, (mels, gates, attn_ws) = jax.lax.scan(
             step, carry, None, length=n_steps,
@@ -479,7 +477,6 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
-        P = hp.prenet_dim
 
         state0 = self._init_state(memory)
         # Same per-step key derivation as the scan path so both modes
@@ -499,26 +496,14 @@ class Decoder(nn.Module):
         def body(carry):
             state, prev, finished, length, t, mels, gates, attns = carry
             k_pre, k_core = jax.random.split(keys[t])
-            prenet_t = self._prenet(prev, k_pre)
-            proj_t = (prenet_t @ self.attention_rnn.w_ih[:P]
-                      + self.attention_rnn.b)
-            state = self._step_core(state, proj_t, k_core, memory,
-                                    processed_memory, None, False, W)
-            dec_h, context, attn_w = state[2], state[6], state[4]
-            hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
-            mel_t = hidden_ctx @ self.proj_w + self.proj_b
-            gate_t = (hidden_ctx @ self.gate_w + self.gate_b)[..., 0]
-
-            mels = mels.at[t].set(jnp.where(finished[:, None], 0.0, mel_t))
+            ((state, prev, finished, length, t1),
+             (mel_rec, gate_t, attn_w)) = self._open_step(
+                (state, prev, finished, length, t), k_pre, k_core, memory,
+                processed_memory, W)
+            mels = mels.at[t].set(mel_rec)
             gates = gates.at[t].set(gate_t)
             attns = attns.at[t].set(attn_w)
-
-            stop_now = jax.nn.sigmoid(gate_t) > hp.gate_threshold
-            newly = jnp.logical_and(stop_now, jnp.logical_not(finished))
-            length = jnp.where(newly, t + 1, length)
-            finished = jnp.logical_or(finished, stop_now)
-            return (state, mel_t, finished, length, t + 1, mels, gates,
-                    attns)
+            return (state, prev, finished, length, t1, mels, gates, attns)
 
         (_, _, _, lengths, _, mels, gates, attns) = jax.lax.while_loop(
             cond, body, (state0, prev0, finished0, length0, jnp.int32(0),

@@ -67,10 +67,21 @@ def matmul_rhs(x, w):
     baseline RTF). The opaque kernel pins the int8 read per step.
     """
     if isinstance(w, QuantizedMatrix):
-        if x.ndim == 2 and jax.default_backend() == "tpu":
+        if (x.ndim == 2 and jax.default_backend() == "tpu"
+                and _pick_block_o(w.q.shape[1]) is not None):
             return qmatmul_pallas(x, w)
         return qmatmul(x, w)
     return x @ w
+
+
+def _pick_block_o(O: int, block_o: int = 512):
+    """Largest lane-aligned (multiple-of-128) tile that divides O, or None
+    when no such tile exists (odd widths fall back to the XLA path rather
+    than asserting inside a jitted decode)."""
+    for b in range(min(block_o, O), 127, -128):
+        if O % b == 0 and b % 128 == 0:
+            return b
+    return O if O <= block_o and O % 128 == 0 else None
 
 
 def _qmm_kernel(x_ref, q_ref, s_ref, o_ref):
@@ -89,8 +100,12 @@ def qmatmul_pallas(x, qm: QuantizedMatrix, block_o: int = 512,
 
     B, I = x.shape
     O = qm.q.shape[1]
-    block_o = min(block_o, O)
-    assert O % block_o == 0, (O, block_o)
+    if O % min(block_o, O) == 0:
+        block_o = min(block_o, O)
+    else:
+        block_o = _pick_block_o(O, block_o)
+        assert block_o is not None, \
+            f"no lane-aligned tile divides O={O}; use qmatmul (XLA path)"
     pad_b = (-B) % 8
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0)))

@@ -115,6 +115,11 @@ class StreamingSynthesizer:
                  crossfade: int = 128, griffin_lim_iters: int = 30):
         self.model, self.variables, self.hp = model, variables, hp
         self.waveglow = waveglow
+        if waveglow is None and lookback < 1:
+            # Griffin-Lim's ISTFT yields (T-1)*hop samples per window, so a
+            # zero-lookback window is hop samples short of the chunk and
+            # the emitted chunks would no longer tile the waveform.
+            raise ValueError("Griffin-Lim streaming needs lookback >= 1")
         self.chunk, self.lookback = chunk, lookback
         self.sigma = sigma
         self.crossfade = crossfade
@@ -123,8 +128,9 @@ class StreamingSynthesizer:
             hp.filter_length, hp.hop_length, hp.win_length,
             hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax)
 
-        self._encode = jax.jit(lambda v, text, kd, kn: model.apply(
-            v, text, method=model.encode_memory,
+        self._encode = jax.jit(lambda v, text, sty, emo, spk, kd, kn:
+                               model.apply(
+            v, text, sty, emo, spk, method=model.encode_memory,
             rngs={"dropout": kd, "noise": kn}))
         self._init = jax.jit(
             lambda v, memory, cap: model.apply(
@@ -160,11 +166,15 @@ class StreamingSynthesizer:
                                       n_iters=self.griffin_lim_iters,
                                       key=key)
 
-    def stream(self, text, seed: int = 0, max_steps: Optional[int] = None):
+    def stream(self, text, seed: int = 0, max_steps: Optional[int] = None,
+               style=None, emotions=None, speaker=None):
         """Generator over (B, chunk*K*hop_length) float32 wav chunks; yields
         as soon as each chunk's audio is materialized. ``text``: str or
-        (B, T) int32 ids. The final ``lengths`` (valid frames per sample)
-        are available as ``self.last_lengths`` after exhaustion."""
+        (B, T) int32 ids. ``style``/``emotions``/``speaker`` condition the
+        generation exactly as in ``Synthesizer.infer_mel`` (a label-trained
+        model left unconditioned draws RANDOM emotions per utterance,
+        reference model.py:691-692). The final ``lengths`` (valid frames per
+        sample) are available as ``self.last_lengths`` after exhaustion."""
         hp = self.hp
         if isinstance(text, str):
             ids = np.asarray(text_to_sequence(text, hp.text_cleaners),
@@ -180,8 +190,8 @@ class StreamingSynthesizer:
         key = jax.random.PRNGKey(seed)
         kd, kn, kv = (jax.random.fold_in(key, i) for i in range(3))
 
-        memory, k_dec, _ = self._encode(self.variables, jnp.asarray(ids), kd,
-                                        kn)
+        memory, k_dec, _ = self._encode(self.variables, jnp.asarray(ids),
+                                        style, emotions, speaker, kd, kn)
         carry = self._init(self.variables, memory, cap)
         B = ids.shape[0]
         tail = jnp.zeros((B, hp.n_mel_channels, lb), memory.dtype)
@@ -190,6 +200,11 @@ class StreamingSynthesizer:
         xf = min(self.crossfade, lb * hop)
         self.last_lengths = np.full((B,), cap * K, np.int64)
         while steps < cap:
+            # The decode segment is a fixed `chunk` steps (static scan
+            # shape); when the cap is not a chunk multiple, only the first
+            # cap-steps of the final segment are emitted — a stream consumer
+            # must never hear audio past the configured cap.
+            n_valid = min(self.chunk, cap - steps)
             carry, tail, wav_win, lengths, finished = self._pipeline(
                 self.variables, memory, carry, tail, k_dec,
                 jax.random.fold_in(kv, steps))
@@ -203,9 +218,9 @@ class StreamingSynthesizer:
             # consecutive chunks tile the waveform without gaps.
             shift = max((lb + self.chunk * K) * hop - wav_win_h.shape[1], 0)
             start = max(lb * hop - shift, 0)
-            wav = wav_win_h[:, start: start + self.chunk * K * hop]
-            steps += self.chunk
-            self.last_lengths = np.asarray(lengths_h)
+            wav = wav_win_h[:, start: start + n_valid * K * hop]
+            steps += n_valid
+            self.last_lengths = np.minimum(np.asarray(lengths_h), cap * K)
             xf = min(xf, start)
             if held is not None and xf:
                 # This window's lookback region re-synthesizes the held-back
@@ -225,7 +240,8 @@ class StreamingSynthesizer:
             yield held
 
     def synthesize(self, text, seed: int = 0,
-                   max_steps: Optional[int] = None):
+                   max_steps: Optional[int] = None,
+                   style=None, emotions=None, speaker=None):
         """Collect the stream; returns (wav (B, T_samples) trimmed to the
         decoded lengths, ttfa_seconds, total_seconds)."""
         import time as _time
@@ -233,7 +249,9 @@ class StreamingSynthesizer:
         t0 = _time.perf_counter()
         ttfa = None
         chunks = []
-        for chunk in self.stream(text, seed=seed, max_steps=max_steps):
+        for chunk in self.stream(text, seed=seed, max_steps=max_steps,
+                                 style=style, emotions=emotions,
+                                 speaker=speaker):
             if ttfa is None:
                 ttfa = _time.perf_counter() - t0
             chunks.append(chunk)

@@ -70,3 +70,48 @@ def test_streaming_gate_stop_matches_cap_behavior():
     chunks = list(synth.stream(np.asarray(text), seed=1))
     total = sum(c.shape[1] for c in chunks)
     assert total == 16 * hp.hop_length
+
+
+def test_streaming_never_emits_past_cap():
+    """cap NOT a multiple of chunk: the final segment still decodes a full
+    chunk (static scan shape) but only cap-worth of audio may be emitted,
+    and last_lengths must clamp at the cap."""
+    hp, model, variables, text = _setup(max_decoder_steps=20)
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=None,
+                                 chunk=8, lookback=4, crossfade=0,
+                                 griffin_lim_iters=2)
+    chunks = list(synth.stream(np.asarray(text), seed=1))  # 8+8+4 steps
+    total = sum(c.shape[1] for c in chunks)
+    assert total == 20 * hp.hop_length
+    assert int(synth.last_lengths.max()) <= 20
+
+
+def test_streaming_griffin_lim_requires_lookback():
+    import pytest
+
+    hp, model, variables, _ = _setup()
+    with pytest.raises(ValueError):
+        StreamingSynthesizer(model, variables, hp, waveglow=None, lookback=0)
+
+
+def test_streaming_accepts_conditioning():
+    """A label-conditioned model must stream with the CALLER's emotion
+    vector (unconditioned it draws random emotions, reference
+    model.py:691-692): same emotions -> same audio, different -> different."""
+    hp, model, variables, text = _setup(
+        use_labels=True, use_intended_labels=True, vesus_path="x",
+        max_decoder_steps=16)
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=None,
+                                 chunk=8, lookback=4, crossfade=0,
+                                 griffin_lim_iters=2)
+    e1 = jnp.asarray([[1.0, 0, 0, 0, 0]])
+    e2 = jnp.asarray([[0, 0, 0, 0, 1.0]])
+    spk = jnp.zeros((1,), jnp.int32)
+    a1, _, _ = synth.synthesize(np.asarray(text), seed=0, emotions=e1,
+                                speaker=spk)
+    a2, _, _ = synth.synthesize(np.asarray(text), seed=0, emotions=e1,
+                                speaker=spk)
+    b, _, _ = synth.synthesize(np.asarray(text), seed=0, emotions=e2,
+                               speaker=spk)
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, b)
