@@ -11,8 +11,12 @@ loading, or Python class definitions are needed at serving time, and the
 artifact is portable across the platforms it was lowered for
 (default: TPU + CPU).
 
-Shapes are static by design (XLA serving: pad text to the export length;
+Shapes are static by default (XLA serving: pad text to the export length;
 the returned per-sample lengths tell the caller where each decode stopped).
+Passing ``batch_size=None`` and/or ``text_len=None`` exports a
+shape-polymorphic artifact instead — one file serves any batch size / text
+length (the encoder scan drops to unroll=1 over a symbolic length; the
+decoder scan is over the static ``max_decoder_steps`` either way).
 """
 
 import os
@@ -46,11 +50,15 @@ def make_infer_fn(model, variables, max_steps: Optional[int] = None,
     return fn, conditioned
 
 
-def export_tts(model, variables, path: str, batch_size: int = 1,
-               text_len: int = 96, max_steps: Optional[int] = None,
+def export_tts(model, variables, path: str, batch_size: Optional[int] = 1,
+               text_len: Optional[int] = 96, max_steps: Optional[int] = None,
                waveglow=None, sigma: float = 0.666,
                platforms: Optional[Sequence[str]] = None) -> int:
     """Serialize the inference graph to ``path``. Returns artifact bytes.
+
+    ``batch_size`` / ``text_len``: concrete export shape, or ``None`` for a
+    symbolic (shape-polymorphic) dimension — the artifact then accepts any
+    value at call time, at the cost of less shape-specialized XLA code.
 
     ``platforms``: lowering targets (default ``("tpu", "cpu")`` so one
     artifact serves on TPU and still runs in CPU tests/CI).
@@ -58,6 +66,13 @@ def export_tts(model, variables, path: str, batch_size: int = 1,
     fn, conditioned = make_infer_fn(model, variables, max_steps, waveglow,
                                     sigma)
     hp = model.hp
+    sym_names = [n for n, v in (("b", batch_size), ("t", text_len))
+                 if v is None]
+    if sym_names:
+        syms = dict(zip(sym_names,
+                        jax.export.symbolic_shape(", ".join(sym_names))))
+        batch_size = syms.get("b", batch_size)
+        text_len = syms.get("t", text_len)
     args = [jax.ShapeDtypeStruct((batch_size, text_len), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.uint32)]
     if conditioned:

@@ -90,6 +90,10 @@ def lstm_scan(params: LSTMParams, xs, lengths=None, unroll=1):
         return (h_new, c_new), out
 
     ts = jnp.arange(T)
+    if not isinstance(T, int):
+        # Shape-polymorphic export: lax.scan can't unroll over a symbolic
+        # length (the remainder split needs a concrete trip count).
+        unroll = 1
     (_, _), ys = jax.lax.scan(step, (h0, c0),
                               (x_proj.transpose(1, 0, 2), ts),
                               unroll=unroll)

@@ -72,6 +72,34 @@ def test_export_conditioned_signature(tmp_path):
     assert mel.shape[0] == B
 
 
+def test_export_polymorphic_serves_any_shape(tmp_path):
+    """One artifact (batch_size=None, text_len=None) serves multiple call
+    shapes and matches the direct model output at each of them."""
+    hp = tiny_hp(max_decoder_steps=10)
+    model, variables = _init_model(hp, 2, 12)
+
+    path = str(tmp_path / "tts_poly.stablehlo")
+    nbytes = export_tts(model, variables, path, batch_size=None,
+                        text_len=None, platforms=("cpu",))
+    assert nbytes > 0
+    serve = load_exported(path)
+    fn, _ = make_infer_fn(model, variables)
+
+    rng = np.random.RandomState(3)
+    key = jax.random.PRNGKey(11)
+    for B, T_in in ((1, 10), (3, 14)):
+        text = jnp.asarray(rng.randint(1, hp.n_symbols, (B, T_in)), jnp.int32)
+        mel_served, len_served = serve(text, key)
+        mel_direct, len_direct = fn(text, key)
+        np.testing.assert_array_equal(np.asarray(len_served),
+                                      np.asarray(len_direct))
+        np.testing.assert_allclose(np.asarray(mel_served),
+                                   np.asarray(mel_direct),
+                                   rtol=1e-5, atol=1e-5)
+        assert mel_served.shape == (B, hp.n_mel_channels,
+                                    hp.max_decoder_steps)
+
+
 def test_pad_text_rejects_overflow():
     import pytest
 
