@@ -127,6 +127,74 @@ def build_emotive_corpus(root: str, n_utts: int = 300, n_train: int = None,
     return root + os.sep, lj_empty, train_list, val_list
 
 
+# --- One-to-many ("bimodal") corpus: GAN-vs-MSE mode-commitment study ---
+#
+# GANtron's thesis is that noise injection makes text->mel one-to-many
+# (reference model.py:184-191, 273-279; README.md:5-9). To give the
+# adversarial path something MSE provably cannot do, each utterance here
+# randomly carries (mode B) or lacks (mode A) a high-band noise texture
+# that appears NOWHERE in the text or conditioning. The MSE-optimal
+# free-running prediction is the conditional mean (half-energy high band —
+# a mel that matches NO real utterance); a GAN generator can use its noise
+# vector to commit to one mode per draw. ``hiband_mode_stats`` below is the
+# measurement.
+
+HIBAND_LO_HZ = 5000.0
+HIBAND_AMP = 0.25
+
+
+def synth_bimodal_utterance(text: str, mode: int, rng) -> np.ndarray:
+    """Tone-language utterance; ``mode=1`` adds a band-limited 5-8 kHz
+    noise texture (amplitude-modulated by the char envelope so it reads as
+    utterance texture, not background)."""
+    wav = synth_utterance(text, rng)
+    if mode:
+        # Band-limit white noise to >= HIBAND_LO_HZ with an FFT brickwall:
+        # exact, dependency-free, and well above every char tone
+        # (max char fundamental ~1.9 kHz, 2nd harmonic ~3.8 kHz).
+        noise = rng.randn(wav.size).astype(np.float32)
+        spec = np.fft.rfft(noise)
+        freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
+        spec[freqs < HIBAND_LO_HZ] = 0
+        noise = np.fft.irfft(spec, n=wav.size).astype(np.float32)
+        noise /= max(np.std(noise), 1e-6)
+        envelope = np.abs(wav) + 0.05
+        wav = wav + HIBAND_AMP * noise * envelope
+    return wav.astype(np.float32)
+
+
+def build_bimodal_corpus(root: str, n_utts: int = 200, n_train: int = None,
+                         min_chars: int = 5, max_chars: int = 9,
+                         seed: int = 0):
+    """LJSpeech-layout corpus where ~half the utterances (random, hidden
+    from text/labels) carry the high-band texture. Returns
+    (wav_dir_with_sep, train_filelist, val_filelist, modes) where ``modes``
+    maps wav filename -> mode for evaluation code."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    modes = {}
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        mode = int(rng.rand() < 0.5)
+        name = f"u{i}.wav"
+        write_wav(os.path.join(wav_dir, name),
+                  synth_bimodal_utterance(text, mode, rng), SR)
+        modes[name] = mode
+        lines.append(f"{name}|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(lines[:n_train]) + "\n")
+    with open(val_list, "w") as f:
+        f.write("\n".join(lines[n_train:]) + "\n")
+    return wav_dir + os.sep, train_list, val_list, modes
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

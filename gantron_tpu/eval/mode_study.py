@@ -1,0 +1,83 @@
+"""Mode-commitment metrics for the one-to-many (bimodal) corpus study.
+
+GANtron's design thesis is that injected noise makes text->mel one-to-many
+(reference model.py:184-191, 273-279). On ``data/toy.py``'s bimodal corpus
+each utterance randomly carries (or lacks) a >=5 kHz noise texture hidden
+from text and labels, so the conditional distribution p(mel | text) has two
+modes. These helpers reduce a mel to a scalar "high-band level" and score
+how close generated samples land to the REAL modes versus the MSE-optimal
+conditional mean between them.
+"""
+
+import numpy as np
+
+from gantron_tpu.data.toy import HIBAND_LO_HZ
+
+
+def hiband_channels(hp, lo_hz: float = HIBAND_LO_HZ) -> np.ndarray:
+    """Indices of mel channels whose center frequency is >= ``lo_hz``."""
+    from gantron_tpu.audio.filters import hz_to_mel, mel_to_hz
+
+    pts = mel_to_hz(np.linspace(hz_to_mel(hp.mel_fmin),
+                                hz_to_mel(hp.mel_fmax),
+                                hp.n_mel_channels + 2))
+    centers = pts[1:-1]
+    return np.nonzero(centers >= lo_hz)[0]
+
+
+def hiband_level(mel: np.ndarray, channels: np.ndarray) -> float:
+    """Mean log-mel level of ``channels`` over the voiced frames of one
+    (n_mel, T) mel. Frames in the quietest 10% of total energy are dropped
+    so attention hiccups / end-of-utterance decay don't dilute the level."""
+    mel = np.asarray(mel)
+    if mel.ndim == 3:
+        mel = mel[0]
+    frame_energy = mel.mean(axis=0)
+    if mel.shape[1] >= 8:
+        keep = frame_energy >= np.quantile(frame_energy, 0.10)
+        mel = mel[:, keep]
+    return float(mel[channels].mean())
+
+
+def mode_anchor_levels(levels_by_mode) -> dict:
+    """Real-corpus anchors: ``levels_by_mode`` maps mode (0/1) -> list of
+    per-utterance high-band levels. Returns the two mode means plus the
+    midpoint (the MSE-optimal conditional-mean prediction sits between the
+    modes in linear-energy space; in the log domain the midpoint remains a
+    sound "uncommitted" anchor because the two real clusters are narrow)."""
+    lo = float(np.mean(levels_by_mode[0]))
+    hi = float(np.mean(levels_by_mode[1]))
+    return {
+        "mode_lo": lo,
+        "mode_hi": hi,
+        "midpoint": (lo + hi) / 2,
+        "halfgap": abs(hi - lo) / 2,
+        "spread_lo": float(np.std(levels_by_mode[0])),
+        "spread_hi": float(np.std(levels_by_mode[1])),
+    }
+
+
+def commitment_stats(gen_levels, anchors: dict) -> dict:
+    """Score generated samples against the real-mode anchors.
+
+    ``commitment`` per sample = |level - midpoint| / halfgap, clipped to
+    [0, 1.5]: 0 = the blurred conditional mean, ~1 = sitting on a real
+    mode. ``frac_near_mode`` = fraction within half a halfgap of either
+    mode. ``frac_hi`` = fraction assigned to the textured mode (a
+    mode-committed one-to-many generator should split these across draws;
+    a mean-regressed generator puts everything near the midpoint)."""
+    g = np.asarray(gen_levels, np.float64)
+    mid, half = anchors["midpoint"], max(anchors["halfgap"], 1e-9)
+    c = np.clip(np.abs(g - mid) / half, 0.0, 1.5)
+    d_lo = np.abs(g - anchors["mode_lo"])
+    d_hi = np.abs(g - anchors["mode_hi"])
+    near = np.minimum(d_lo, d_hi) <= 0.5 * half
+    return {
+        "n": int(g.size),
+        "mean_commitment": float(c.mean()),
+        "frac_near_mode": float(near.mean()),
+        "frac_hi": float((g > mid).mean()),
+        "level_mean": float(g.mean()),
+        "level_std": float(g.std()),
+        "levels": [round(float(v), 3) for v in g],
+    }

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""One-to-many mode-commitment study: does the adversarial loss + injected
+noise let the generator COMMIT to a mode where MSE regresses to the mean?
+
+This is the learning-dynamics evidence for the one design element that makes
+GANtron a GAN (reference model.py:184-191, 273-279; train.py:291-424): on
+``build_bimodal_corpus`` each utterance randomly carries (mode hi) or lacks
+(mode lo) a >=5 kHz noise texture hidden from text/labels, so p(mel | text)
+is bimodal. The MSE-optimal free-running generator outputs the blurred
+conditional mean between the modes; a working GAN uses its noise vector to
+land on a real mode per draw. We train d_freq=1 vs d_freq=0 with identical
+architecture (noise path present in both) and score free-running samples
+with ``gantron_tpu.eval.mode_study``.
+
+Usage: python scripts/gan_mode_study.py --variant gan -o /tmp/modestudy
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "gan": {},
+    "nogan": {"d_freq": 0, "disc_warmp_up": 0},
+}
+
+STUDY_TEXT = "aeioumnst"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", choices=sorted(VARIANTS), default="gan")
+    parser.add_argument("-o", "--output", default="/tmp/modestudy")
+    parser.add_argument("--iterations", type=int, default=3000)
+    parser.add_argument("--n_utts", type=int, default=200)
+    parser.add_argument("--samples", type=int, default=80,
+                        help="free-running samples (independent noise draws)")
+    parser.add_argument("--hparams", type=str, default=None)
+    args = parser.parse_args()
+
+    from gantron_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from gantron_tpu.config import HParams
+    from gantron_tpu.data.dataset import TextMelDataset
+    from gantron_tpu.data.toy import build_bimodal_corpus
+    from gantron_tpu.eval.mode_study import (commitment_stats,
+                                             hiband_channels, hiband_level,
+                                             mode_anchor_levels)
+    from gantron_tpu.eval.sampling import random_style
+    from gantron_tpu.text import text_to_sequence
+    from gantron_tpu.train.checkpoint import CheckpointManager
+    from gantron_tpu.train.loop import train
+    from gantron_tpu.utils.loading import load_generator
+    from gantron_tpu.utils.logging import MetricLogger
+
+    corpus_root = os.path.join(args.output, "corpus")
+    os.makedirs(corpus_root, exist_ok=True)
+    wav_dir, train_list, val_list, modes = build_bimodal_corpus(
+        corpus_root, n_utts=args.n_utts)
+
+    hp = HParams()
+    hp.add_params(dict(
+        symbols_embedding_dim=96, encoder_embedding_dim=96,
+        encoder_n_convolutions=2, attention_rnn_dim=128, decoder_rnn_dim=128,
+        prenet_dim=48, attention_dim=48, attention_location_n_filters=8,
+        attention_location_kernel_size=15, postnet_embedding_dim=96,
+        postnet_n_convolutions=3, discriminator_dim=96,
+        max_decoder_steps=64, use_noise=True, noise_size=32,
+        use_labels=False,
+        scan_unroll=2, mesh_shape=[1], validation_audio=False,
+        batch_size=16, iterations=args.iterations,
+        iters_per_checkpoint=max(args.iterations // 5, 1),
+        disc_warmp_up=100, attn_steps=args.iterations // 2,
+        g_learning_rate=1e-3, d_learning_rate=7e-4,
+        text_buckets=[12], mel_buckets=[60],
+        training_files=[train_list], validation_files=[val_list],
+    ))
+    hp.add_params(VARIANTS[args.variant])
+    if args.hparams:
+        hp.add_params_string(args.hparams)
+
+    out = os.path.join(args.output, args.variant)
+    logger = MetricLogger(out, run_name=args.variant)
+    t0 = time.time()
+    state, iteration = train(out, None, False, hp, wav_dir, logger=logger)
+    train_seconds = time.time() - t0
+
+    final_val = {}
+    metrics_path = os.path.join(out, f"{args.variant}.metrics.jsonl")
+    if os.path.exists(metrics_path):
+        with open(metrics_path) as f:
+            for line in f:
+                rec = json.loads(line)
+                for k in ("Validation mel loss", "Validation gate loss"):
+                    if k in rec:
+                        final_val[k] = rec[k]
+
+    # Real-mode anchors from the training mels, via the SAME extraction the
+    # dataset trained on (cached next to the wavs).
+    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    channels = hiband_channels(hp)
+    levels_by_mode = {0: [], 1: []}
+    with open(train_list) as f:
+        names = [line.split("|")[0] for line in f if line.strip()]
+    for name in names:
+        mel = ds.get_mel(os.path.join(wav_dir, name))
+        levels_by_mode[modes[name]].append(hiband_level(mel, channels))
+    anchors = mode_anchor_levels(levels_by_mode)
+
+    # Free-running generation: one text, `samples` independent noise draws.
+    ckpt_path = CheckpointManager(out).latest()
+    model, variables = load_generator(ckpt_path, hp)
+    seq = np.asarray(
+        text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)[None]
+    mels, lengths = random_style(
+        model, variables, jax.numpy.asarray(seq), hp.noise_size,
+        args.samples, max_decoder_steps=hp.max_decoder_steps,
+        key=jax.random.PRNGKey(7))
+    gen_levels, sharp = [], []
+    for i in range(mels.shape[0]):
+        m = mels[i, :, : max(int(lengths[i]), 2)]
+        gen_levels.append(hiband_level(m, channels))
+        sharp.append(float(np.mean(np.diff(m, axis=1) ** 2)))
+    stats = commitment_stats(gen_levels, anchors)
+
+    result = {
+        "variant": args.variant,
+        "hparams": dict(VARIANTS[args.variant]),
+        "iterations": iteration,
+        "train_seconds": round(train_seconds, 1),
+        "final_validation": final_val,
+        "real_anchors": {k: round(v, 3) for k, v in anchors.items()},
+        "generated": stats,
+        "generated_mel_sharpness": float(np.mean(sharp)),
+        "n_utts": args.n_utts,
+        "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(out, "mode_study.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Bimodal (one-to-many) corpus + mode-commitment metrics.
+
+Validates the measurement instrument for the GAN-vs-MSE mode study
+(scripts/gan_mode_study.py): the hidden high-band texture must be cleanly
+separable in the SAME mel features the model trains on, and the commitment
+score must rank mode-committed samples above mean-regressed ones.
+"""
+
+import os
+
+import numpy as np
+
+from gantron_tpu.config import HParams
+from gantron_tpu.data.dataset import TextMelDataset
+from gantron_tpu.data.toy import build_bimodal_corpus
+from gantron_tpu.eval.mode_study import (commitment_stats, hiband_channels,
+                                         hiband_level, mode_anchor_levels)
+
+
+def test_bimodal_corpus_modes_separate_in_mel(tmp_path):
+    root = str(tmp_path)
+    wav_dir, train_list, val_list, modes = build_bimodal_corpus(
+        root, n_utts=12, n_train=12)
+    assert set(modes.values()) == {0, 1}
+
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    channels = hiband_channels(hp)
+    assert channels.size >= 8  # 5-8 kHz spans a real share of the 80 mels
+
+    levels = {0: [], 1: []}
+    for name, mode in modes.items():
+        mel = ds.get_mel(os.path.join(wav_dir, name))
+        levels[mode].append(hiband_level(mel, channels))
+    anchors = mode_anchor_levels(levels)
+    # The two real modes must be far apart relative to their own spread —
+    # otherwise the study cannot attribute mean-regression to the loss.
+    assert anchors["mode_hi"] - anchors["mode_lo"] > 2.0
+    assert anchors["halfgap"] > 3 * max(anchors["spread_lo"],
+                                        anchors["spread_hi"])
+
+
+def test_commitment_score_ranks_committed_above_mean():
+    anchors = {"mode_lo": -9.0, "mode_hi": -3.0, "midpoint": -6.0,
+               "halfgap": 3.0, "spread_lo": 0.2, "spread_hi": 0.2}
+    committed = commitment_stats(
+        [-9.1, -2.9, -8.8, -3.2, -9.0, -3.0], anchors)
+    blurred = commitment_stats(
+        [-6.1, -5.9, -6.3, -5.8, -6.0, -6.2], anchors)
+    assert committed["mean_commitment"] > 0.9
+    assert blurred["mean_commitment"] < 0.2
+    assert committed["frac_near_mode"] == 1.0
+    assert blurred["frac_near_mode"] == 0.0
+    # A one-to-many generator splits its draws across both modes.
+    assert 0.3 <= committed["frac_hi"] <= 0.7
