@@ -155,24 +155,17 @@ def check_kmeans_accuracy(mels, class_ids, n_clusters=None, n_init=30,
     kmeans = KMeans(n_clusters=k, random_state=seed, n_init=n_init).fit(mels)
     y = kmeans.labels_
     basic_acc = float(np.mean(y == class_ids))
-    if k > 9:
-        # k! permutations is intractable past ~9 clusters; the Hungarian
-        # assignment on the (class, cluster) confusion matrix finds the SAME
-        # optimum (class->cluster mapping maximizing matches) in O(k^3).
-        from scipy.optimize import linear_sum_assignment
+    # The reference brute-forces all k! cluster->class permutations
+    # (check_kmeans.py:60-75); the Hungarian assignment on the
+    # (class, cluster) confusion matrix finds the same optimum in O(k^3)
+    # (rows from a square linear_sum_assignment are always arange(k), so
+    # cols IS the class->cluster permutation).
+    from scipy.optimize import linear_sum_assignment
 
-        conf = np.zeros((k, k))
-        for cls, clu in zip(class_ids, y):
-            conf[cls, clu] += 1
-        rows, cols = linear_sum_assignment(-conf)
-        best_perm = tuple(int(cols[list(rows).index(c)]) if c in rows else 0
-                          for c in range(k))
-        best_acc = float(conf[rows, cols].sum() / len(y))
-        return basic_acc, best_acc, best_perm
-    best_acc, best_perm = 0.0, None
-    for perm in itertools.permutations(range(k)):
-        mapped = np.asarray(perm)[class_ids]
-        acc = float(np.mean(y == mapped))
-        if acc > best_acc:
-            best_acc, best_perm = acc, perm
+    conf = np.zeros((k, k))
+    for cls, clu in zip(class_ids, y):
+        conf[cls, clu] += 1
+    rows, cols = linear_sum_assignment(-conf)
+    best_perm = tuple(int(c) for c in cols)
+    best_acc = float(conf[rows, cols].sum() / len(y))
     return basic_acc, best_acc, best_perm

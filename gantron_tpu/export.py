@@ -61,11 +61,25 @@ def export_tts(model, variables, path: str, batch_size: Optional[int] = 1,
     value at call time, at the cost of less shape-specialized XLA code.
 
     ``platforms``: lowering targets (default ``("tpu", "cpu")`` so one
-    artifact serves on TPU and still runs in CPU tests/CI).
+    artifact serves on TPU and still runs in CPU tests/CI). Exception:
+    with ``hp.quantized_inference`` the default is ``("tpu",)`` — the int8
+    Pallas kernel resolves per lowering platform (ops/quant.py
+    ``matmul_rhs``), which covers cross-host single-platform export, but a
+    MULTI-platform module still lowers every ``lax.platform_dependent``
+    branch for every platform and the TPU-only kernel cannot lower for
+    CPU; export one artifact per platform instead.
     """
     fn, conditioned = make_infer_fn(model, variables, max_steps, waveglow,
                                     sigma)
     hp = model.hp
+    quantized = getattr(hp, "quantized_inference", False)
+    if platforms is None:
+        platforms = ("tpu",) if quantized else ("tpu", "cpu")
+    elif quantized and len(tuple(platforms)) > 1:
+        raise ValueError(
+            "quantized_inference exports are single-platform (the int8 "
+            "Pallas kernel only lowers for TPU); export one artifact per "
+            f"platform instead of platforms={tuple(platforms)}")
     sym_names = [n for n, v in (("b", batch_size), ("t", text_len))
                  if v is None]
     if sym_names:
@@ -83,8 +97,6 @@ def export_tts(model, variables, path: str, batch_size: Optional[int] = 1,
         def wrapped(text_ids, key):
             return fn(text_ids, key)
 
-    if platforms is None:
-        platforms = ("tpu", "cpu")
     exported = jax.export.export(jax.jit(wrapped),
                                  platforms=tuple(platforms))(*args)
     data = exported.serialize()

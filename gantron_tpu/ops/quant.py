@@ -65,11 +65,20 @@ def matmul_rhs(x, w):
     weight copy in HBM — the scan then streams the SAME bytes as the
     unquantized model plus the dequant overhead (measured: 0.0172 vs 0.0148
     baseline RTF). The opaque kernel pins the int8 read per step.
+
+    The TPU/other split is made per LOWERING platform
+    (``lax.platform_dependent``), not per ``jax.default_backend()`` at trace
+    time: a multi-platform ``jax.export`` artifact (export.py defaults to
+    ``("tpu", "cpu")``) then gets the Pallas kernel in its TPU lowering and
+    the XLA path in its CPU lowering, and an artifact exported FROM a CPU
+    host still serves int8-streamed on TPU.
     """
     if isinstance(w, QuantizedMatrix):
-        if (x.ndim == 2 and jax.default_backend() == "tpu"
-                and _pick_block_o(w.q.shape[1]) is not None):
-            return qmatmul_pallas(x, w)
+        if x.ndim == 2 and _pick_block_o(w.q.shape[1]) is not None:
+            return jax.lax.platform_dependent(
+                x, w.q, w.scale,
+                tpu=lambda x, q, s: qmatmul_pallas(x, QuantizedMatrix(q, s)),
+                default=lambda x, q, s: qmatmul(x, QuantizedMatrix(q, s)))
         return qmatmul(x, w)
     return x @ w
 

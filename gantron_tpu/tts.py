@@ -154,8 +154,10 @@ class StreamingSynthesizer:
                 v, memory, carry, k_dec)
             window = jnp.concatenate([tail, mel_seg], axis=2)
             wav_win = self._vocode(self._postnet(v, window), k_voc)
-            return (carry, window[:, :, -lookback:], wav_win, lengths,
-                    finished)
+            # NOT `[..., -lookback:]`: at lookback=0 that negative-index
+            # slice returns the FULL window, growing the tail each chunk.
+            next_tail = window[:, :, window.shape[2] - lookback:]
+            return carry, next_tail, wav_win, lengths, finished
 
         self._pipeline = pipeline
 
@@ -218,6 +220,17 @@ class StreamingSynthesizer:
             # consecutive chunks tile the waveform without gaps.
             shift = max((lb + self.chunk * K) * hop - wav_win_h.shape[1], 0)
             start = max(lb * hop - shift, 0)
+            # Frames past a sample's gate stop decode as ZERO log-mels,
+            # which vocode as loud broadband noise, not silence
+            # (dynamic-range-compressed mels live around -11..0). A live
+            # consumer plays chunks as they arrive, so silence them here —
+            # per sample, from its stop frame to the window end (covers the
+            # gate-to-chunk-boundary gap and, for B>1, samples that finished
+            # while others still decode).
+            wav_win_h = np.array(wav_win_h)  # device_get can be read-only
+            for b in range(B):
+                cut = start + (int(lengths_h[b]) - steps * K) * hop
+                wav_win_h[b, max(min(cut, wav_win_h.shape[1]), 0):] = 0.0
             wav = wav_win_h[:, start: start + n_valid * K * hop]
             steps += n_valid
             self.last_lengths = np.minimum(np.asarray(lengths_h), cap * K)

@@ -82,24 +82,14 @@ def main():
     vesus_root, lj_empty, train_list, val_list = build_emotive_corpus(
         corpus_root, n_utts=args.n_utts)
 
+    from _study_common import final_validation, small_model_params
+
     hp = HParams()
+    hp.add_params(small_model_params(args.iterations))
     hp.add_params(dict(
-        # ~96-dim model: big enough to speak the tone language + use the
-        # emotion vector, small enough to train in minutes.
-        symbols_embedding_dim=96, encoder_embedding_dim=96,
-        encoder_n_convolutions=2, attention_rnn_dim=128, decoder_rnn_dim=128,
-        prenet_dim=48, attention_dim=48, attention_location_n_filters=8,
-        attention_location_kernel_size=15, postnet_embedding_dim=96,
-        postnet_n_convolutions=3, discriminator_dim=96,
         speakers_embedding=16, n_labels=5,
-        max_decoder_steps=64, use_noise=False, noise_size=0,
+        use_noise=False, noise_size=0,
         use_labels=True, use_intended_labels=True, vesus_path=vesus_root,
-        scan_unroll=2, mesh_shape=[1], validation_audio=False,
-        batch_size=16, iterations=args.iterations,
-        iters_per_checkpoint=max(args.iterations // 5, 1),
-        disc_warmp_up=100, attn_steps=args.iterations // 2,
-        g_learning_rate=1e-3, d_learning_rate=7e-4,
-        text_buckets=[12], mel_buckets=[60],
         training_files=[lj_empty, train_list],
         validation_files=[lj_empty, val_list],
     ))
@@ -115,16 +105,8 @@ def main():
     train_seconds = time.time() - t0
     steps_per_sec = iteration / max(train_seconds, 1e-9)
 
-    # Final validation losses from the JSONL metric log.
-    final_val = {}
-    metrics_path = os.path.join(out, f"{args.variant}.metrics.jsonl")
-    if os.path.exists(metrics_path):
-        with open(metrics_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                for k in ("Validation mel loss", "Validation gate loss"):
-                    if k in rec:
-                        final_val[k] = rec[k]
+    final_val = final_validation(
+        os.path.join(out, f"{args.variant}.metrics.jsonl"))
 
     # Study on the trained checkpoint: forced one-hot emotion groups
     # (int_labels), no noise forcing (use_noise=False in these variants).

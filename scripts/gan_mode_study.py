@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--n_utts", type=int, default=200)
     parser.add_argument("--samples", type=int, default=80,
                         help="free-running samples (independent noise draws)")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="replication seed: shifts the corpus draw, the "
+                             "training PRNG, and the sampling key together")
     parser.add_argument("--hparams", type=str, default=None)
     args = parser.parse_args()
 
@@ -63,47 +66,34 @@ def main():
     from gantron_tpu.utils.loading import load_generator
     from gantron_tpu.utils.logging import MetricLogger
 
-    corpus_root = os.path.join(args.output, "corpus")
+    corpus_root = os.path.join(args.output, f"corpus{args.seed}"
+                               if args.seed else "corpus")
     os.makedirs(corpus_root, exist_ok=True)
     wav_dir, train_list, val_list, modes = build_bimodal_corpus(
-        corpus_root, n_utts=args.n_utts)
+        corpus_root, n_utts=args.n_utts, seed=args.seed)
+
+    from _study_common import final_validation, small_model_params
 
     hp = HParams()
+    hp.add_params(small_model_params(args.iterations))
     hp.add_params(dict(
-        symbols_embedding_dim=96, encoder_embedding_dim=96,
-        encoder_n_convolutions=2, attention_rnn_dim=128, decoder_rnn_dim=128,
-        prenet_dim=48, attention_dim=48, attention_location_n_filters=8,
-        attention_location_kernel_size=15, postnet_embedding_dim=96,
-        postnet_n_convolutions=3, discriminator_dim=96,
-        max_decoder_steps=64, use_noise=True, noise_size=32,
-        use_labels=False,
-        scan_unroll=2, mesh_shape=[1], validation_audio=False,
-        batch_size=16, iterations=args.iterations,
-        iters_per_checkpoint=max(args.iterations // 5, 1),
-        disc_warmp_up=100, attn_steps=args.iterations // 2,
-        g_learning_rate=1e-3, d_learning_rate=7e-4,
-        text_buckets=[12], mel_buckets=[60],
+        use_noise=True, noise_size=32, use_labels=False,
+        seed=1234 + args.seed,
         training_files=[train_list], validation_files=[val_list],
     ))
     hp.add_params(VARIANTS[args.variant])
     if args.hparams:
         hp.add_params_string(args.hparams)
 
-    out = os.path.join(args.output, args.variant)
+    out = os.path.join(args.output, args.variant
+                       + (f"_s{args.seed}" if args.seed else ""))
     logger = MetricLogger(out, run_name=args.variant)
     t0 = time.time()
     state, iteration = train(out, None, False, hp, wav_dir, logger=logger)
     train_seconds = time.time() - t0
 
-    final_val = {}
-    metrics_path = os.path.join(out, f"{args.variant}.metrics.jsonl")
-    if os.path.exists(metrics_path):
-        with open(metrics_path) as f:
-            for line in f:
-                rec = json.loads(line)
-                for k in ("Validation mel loss", "Validation gate loss"):
-                    if k in rec:
-                        final_val[k] = rec[k]
+    final_val = final_validation(
+        os.path.join(out, f"{args.variant}.metrics.jsonl"))
 
     # Real-mode anchors from the training mels, via the SAME extraction the
     # dataset trained on (cached next to the wavs).
@@ -125,7 +115,7 @@ def main():
     mels, lengths = random_style(
         model, variables, jax.numpy.asarray(seq), hp.noise_size,
         args.samples, max_decoder_steps=hp.max_decoder_steps,
-        key=jax.random.PRNGKey(7))
+        key=jax.random.PRNGKey(7 + args.seed))
     gen_levels, sharp = [], []
     for i in range(mels.shape[0]):
         m = mels[i, :, : max(int(lengths[i]), 2)]
@@ -143,6 +133,7 @@ def main():
         "generated": stats,
         "generated_mel_sharpness": float(np.mean(sharp)),
         "n_utts": args.n_utts,
+        "seed": args.seed,
         "device": str(jax.devices()[0]),
     }
     with open(os.path.join(out, "mode_study.json"), "w") as f:

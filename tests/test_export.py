@@ -105,3 +105,43 @@ def test_pad_text_rejects_overflow():
 
     with pytest.raises(ValueError):
         pad_text(np.ones((1, 20), np.int32), 10)
+
+
+def test_export_quantized_per_platform(tmp_path):
+    """quantized_inference exports resolve Pallas-vs-XLA per LOWERING
+    platform (lax.platform_dependent in ops/quant.py matmul_rhs): a
+    TPU-only artifact exports from this CPU host (carrying the int8 Pallas
+    kernel), a CPU-only artifact serves here through the XLA dequant path
+    and matches the direct model, and a multi-platform request fails with
+    a clear error instead of a lowering crash."""
+    import pytest
+
+    # 32-dim RNNs -> 128-wide gate matrices, so the Pallas tile picker
+    # accepts them and the platform_dependent branch is actually taken.
+    hp = tiny_hp(max_decoder_steps=8, attention_rnn_dim=32,
+                 decoder_rnn_dim=32, quantized_inference=True)
+    B, T_in = 2, 10
+    model, variables = _init_model(hp, B, T_in)
+
+    # Default for a quantized model is TPU-only — exports fine from CPU.
+    assert export_tts(model, variables, str(tmp_path / "tts_q_tpu.shlo"),
+                      batch_size=B, text_len=T_in) > 0
+
+    with pytest.raises(ValueError, match="single-platform"):
+        export_tts(model, variables, str(tmp_path / "tts_q_multi.shlo"),
+                   batch_size=B, text_len=T_in, platforms=("tpu", "cpu"))
+
+    path = str(tmp_path / "tts_q_cpu.shlo")
+    assert export_tts(model, variables, path, batch_size=B, text_len=T_in,
+                      platforms=("cpu",)) > 0
+    serve = load_exported(path)
+    key = jax.random.PRNGKey(3)
+    text = pad_text(np.ones((B, 7), np.int32), T_in)
+    mel_served, len_served = serve(jnp.asarray(text), key)
+
+    fn, _ = make_infer_fn(model, variables)
+    mel_direct, len_direct = fn(jnp.asarray(text), key)
+    np.testing.assert_array_equal(np.asarray(len_served),
+                                  np.asarray(len_direct))
+    np.testing.assert_allclose(np.asarray(mel_served),
+                               np.asarray(mel_direct), rtol=1e-5, atol=1e-5)

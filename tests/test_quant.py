@@ -74,3 +74,20 @@ def test_quantized_inference_decode_deviation():
                          early_exit=True)
     np.testing.assert_allclose(np.asarray(out_ee[1])[..., :T],
                                mel_q[..., :T], rtol=2e-3, atol=2e-3)
+
+
+def test_matmul_rhs_platform_dispatch_under_jit():
+    """matmul_rhs splits Pallas-vs-XLA per LOWERING platform
+    (lax.platform_dependent), so it must jit, run, and match the plain
+    dequant matmul on this CPU host — and remain exportable for platforms
+    without a live backend (covered in test_export.py)."""
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(64, 256).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    qm = quantize_per_channel(w)
+    out = jax.jit(matmul_rhs)(x, qm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(qmatmul(x, qm)),
+                               rtol=1e-5, atol=1e-5)
+    # Plain-array rhs passes through untouched.
+    np.testing.assert_allclose(np.asarray(jax.jit(matmul_rhs)(x, w)),
+                               np.asarray(x @ w), rtol=1e-5, atol=1e-5)

@@ -115,3 +115,54 @@ def test_streaming_accepts_conditioning():
                                speaker=spk)
     np.testing.assert_array_equal(a1, a2)
     assert not np.array_equal(a1, b)
+
+
+def test_streaming_lookback_zero_with_waveglow():
+    """lookback=0 must keep an EMPTY tail (a `[..., -0:]` slice would
+    return the full window, growing it each chunk, recompiling the
+    postnet/vocoder jits per chunk, and re-emitting the previous chunk's
+    audio)."""
+    from gantron_tpu.models.waveglow import (WaveGlow, WaveGlowConfig,
+                                             random_params)
+
+    hp, model, variables, text = _setup(
+        max_decoder_steps=8, n_mel_channels=8, hop_length=8)
+    cfg = WaveGlowConfig(n_mel_channels=8, n_flows=2, n_group=4,
+                         n_early_every=4, n_early_size=1, n_layers=1,
+                         n_channels=8, kernel_size=3, upsample_kernel=16,
+                         upsample_stride=8)
+    wg = WaveGlow(cfg, random_params(jax.random.PRNGKey(0), cfg))
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=wg,
+                                 chunk=4, lookback=0, crossfade=0)
+    # The pipeline must hand back an EMPTY next-tail, not the full window.
+    k = jax.random.PRNGKey(1)
+    memory, k_dec, _ = synth._encode(variables, jnp.asarray(text), None,
+                                     None, None, k, k)
+    carry = synth._init(variables, memory, 8)
+    _, next_tail, wav_win, _, _ = synth._pipeline(
+        variables, memory, carry, jnp.zeros((1, 8, 0), memory.dtype),
+        k_dec, k)
+    assert next_tail.shape == (1, 8, 0)
+    assert wav_win.shape == (1, 4 * hp.hop_length)
+    # And the stream emits constant-width chunks that tile the cap.
+    chunks = list(synth.stream(np.asarray(text), seed=1))
+    assert len(chunks) == 2
+    assert all(c.shape == (1, 4 * hp.hop_length) for c in chunks)
+
+
+def test_streaming_silences_post_stop_frames():
+    """Frames between a sample's gate stop and the chunk boundary decode as
+    zero log-mels, which VOCODE as loud noise — the stream must emit
+    silence there (a live consumer has already played the chunk before any
+    trim could happen)."""
+    hp, model, variables, text = _setup(max_decoder_steps=16,
+                                        gate_threshold=0.0)  # stop at step 1
+    synth = StreamingSynthesizer(model, variables, hp, waveglow=None,
+                                 chunk=8, lookback=2, crossfade=0,
+                                 griffin_lim_iters=2)
+    chunks = list(synth.stream(np.asarray(text), seed=0))
+    assert len(chunks) == 1  # finished in the first chunk
+    wav = chunks[0]
+    assert int(synth.last_lengths[0]) == 1
+    assert np.any(wav[0, : hp.hop_length] != 0.0)
+    np.testing.assert_array_equal(wav[0, hp.hop_length:], 0.0)
