@@ -88,10 +88,11 @@ def main():
     attn_w = jnp.float32(10.0)
 
     def run_cycle(state):
-        state, _, gen_mel = g_step(state, batch, g_lr, attn_w)
-        state, g_metrics, gen_mel = g_step(state, batch, g_lr, attn_w)
+        state, _, _ = g_step(state, batch, g_lr, attn_w)
+        state, g_metrics, (gen_mel, gen_lengths) = g_step(state, batch,
+                                                          g_lr, attn_w)
         state, d_metrics = d_step(state, batch.mels, batch.output_lengths,
-                                  gen_mel, batch.output_lengths, d_lr)
+                                  gen_mel, gen_lengths, d_lr)
         return state, g_metrics, d_metrics
 
     for _ in range(WARMUP_CYCLES):

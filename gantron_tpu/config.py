@@ -194,6 +194,19 @@ class HParams:
     # backward is that accumulator's HBM read-modify-write traffic. Exact
     # (same grads as plain autodiff; verified by tests/test_deferred_dw.py).
     deferred_dw: bool = True
+    # Free-running adversarial rollouts: each G step additionally decodes the
+    # batch OPEN-LOOP (no teacher forcing; fresh noise; the same differentiable
+    # lax.scan serving uses) and adds the discriminator's score on that rollout
+    # to the generator loss; the D step then trains against rollout fakes
+    # instead of teacher-forced ones. The reference's GAN only ever scores
+    # teacher-forced outputs (train.py:371-383), where the forced history — not
+    # the latent — carries the mode, so its noise input can go unused
+    # (measured: docs/TRAINING_EVIDENCE.md mode study). Rollouts put the
+    # adversarial pressure on the distribution actually sampled at inference.
+    # Infeasible in the reference (its per-frame Python decode loop makes
+    # differentiating a free run prohibitively slow); a scan makes it one more
+    # compiled graph. Off by default (parity).
+    adversarial_rollouts: bool = False
 
     def __post_init__(self):
         if self.n_symbols == 0:

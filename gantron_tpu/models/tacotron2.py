@@ -344,12 +344,18 @@ class Decoder(nn.Module):
         return outs + (dw_aux,)
 
     # -- free-running inference ---------------------------------------------
-    def _open_step(self, carry, k_pre, k_core, memory, processed_memory, W):
+    def _open_step(self, carry, k_pre, k_core, memory, processed_memory, W,
+                   mask=None):
         """ONE open-loop decoder step — the shared body of ``infer``
         (scan), ``infer_early_exit`` (while_loop) and ``infer_segment``
         (streaming). Callers differ only in how they derive the per-step
         dropout keys and where they put the outputs; keeping a single body
         guarantees the three decode modes cannot drift.
+
+        ``mask``: optional (B, T_in) attention validity mask. Serving decodes
+        pass None (a single unpadded text); free-running adversarial
+        rollouts decode PADDED training batches and must not attend to pad
+        symbols.
 
         carry: (state, prev_frame, finished, length, t). Returns
         (next_carry, (mel_rec, gate_t, attn_w)) where ``mel_rec`` has frames
@@ -363,7 +369,7 @@ class Decoder(nn.Module):
         prenet_t = self._prenet(prev, k_pre)
         proj_t = prenet_t @ self.attention_rnn.w_ih[:P] + self.attention_rnn.b
         state = self._step_core(state, proj_t, k_core, memory,
-                                processed_memory, None, False, W)
+                                processed_memory, mask, False, W)
         dec_h, context, attn_w = state[2], state[6], state[4]
         hidden_ctx = jnp.concatenate([dec_h, context], axis=-1)
         mel_t = hidden_ctx @ self.proj_w + self.proj_b
@@ -377,8 +383,13 @@ class Decoder(nn.Module):
         return ((state, mel_t, finished, length, t + 1),
                 (mel_rec, gate_t, attn_w))
 
-    def infer(self, memory, dropout_rng, max_steps: Optional[int] = None):
+    def infer(self, memory, dropout_rng, max_steps: Optional[int] = None,
+              memory_lengths=None):
         """Open-loop decoding with on-device gate stopping.
+
+        ``memory_lengths``: optional (B,) valid memory lengths — pass for
+        PADDED batches (adversarial rollouts) so attention masks pad
+        positions exactly as the teacher-forced pass does.
 
         Returns (mel_outputs (B, n_mel, S), gate_outputs (B, S),
         alignments (B, S, T_in), mel_lengths (B,)) where S = max_steps.
@@ -390,6 +401,8 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
+        mask = (get_mask_from_lengths(memory_lengths, T_in)
+                if memory_lengths is not None else None)
 
         keys = jax.random.split(dropout_rng, S)
         state0 = self._init_state(memory)
@@ -400,7 +413,7 @@ class Decoder(nn.Module):
         def step(carry, key_t):
             k_pre, k_core = jax.random.split(key_t)
             return self._open_step(carry, k_pre, k_core, memory,
-                                   processed_memory, W)
+                                   processed_memory, W, mask)
 
         (_, _, _, lengths, _), (mels, gates, attn_ws) = jax.lax.scan(
             step, (state0, prev0, finished0, length0, jnp.int32(0)), keys,
@@ -665,11 +678,14 @@ class Tacotron2(nn.Module):
         return outputs
 
     # -- inference ----------------------------------------------------------
-    def encode_memory(self, text, style=None, emotions=None, speaker=None):
+    def encode_memory(self, text, style=None, emotions=None, speaker=None,
+                      text_lengths=None):
         """Text -> decoder memory with all conditioning concats applied (the
         first half of ``infer``; also the setup step of streaming synthesis).
-        Returns (memory, k_dec, k_post) — the decode/postnet dropout keys
-        derived from this call's rng stream."""
+        ``text_lengths``: optional true lengths for PADDED batches
+        (adversarial rollouts); serving passes a single unpadded text and
+        leaves it None. Returns (memory, k_dec, k_post) — the decode/postnet
+        dropout keys derived from this call's rng stream."""
         hp = self.hp
         B, T = text.shape
         dropout_rng = self.make_rng("dropout")
@@ -691,7 +707,8 @@ class Tacotron2(nn.Module):
         embedded = jnp.take(self.embedding, text, axis=0)
         embedded = self._encoder_side_concat(embedded, emotions, noise_rng,
                                              enc_style)
-        lengths = jnp.full((B,), T, jnp.int32)
+        lengths = (text_lengths if text_lengths is not None
+                   else jnp.full((B,), T, jnp.int32))
         encoder_outputs = self.encoder(embedded, lengths, False, k_enc)
 
         spk = speaker if speaker is not None else jnp.zeros((B,), jnp.int32)
@@ -701,19 +718,25 @@ class Tacotron2(nn.Module):
         return memory, k_dec, k_post
 
     def infer(self, text, style=None, emotions=None, speaker=None,
-              max_steps: Optional[int] = None, early_exit: bool = False):
+              max_steps: Optional[int] = None, early_exit: bool = False,
+              text_lengths=None):
         """Open-loop inference (reference model.py:675-723).
 
         ``text``: (B, T) int32 symbol ids. ``style``: optional (B, 1, noise)
-        or (B, T, noise). Returns [mel, mel_postnet, gate, alignments,
-        mel_lengths].
+        or (B, T, noise). ``text_lengths``: optional true lengths when
+        ``text`` is a padded batch (adversarial rollouts) — masks encoder
+        state and attention at pad positions. Returns [mel, mel_postnet,
+        gate, alignments, mel_lengths].
         """
         memory, k_dec, k_post = self.encode_memory(text, style, emotions,
-                                                   speaker)
-        decode = (self.decoder.infer_early_exit if early_exit
-                  else self.decoder.infer)
-        mel_outputs, gate_outputs, alignments, mel_lengths = decode(
-            memory, k_dec, max_steps)
+                                                   speaker, text_lengths)
+        if early_exit:
+            mel_outputs, gate_outputs, alignments, mel_lengths = \
+                self.decoder.infer_early_exit(memory, k_dec, max_steps)
+        else:
+            mel_outputs, gate_outputs, alignments, mel_lengths = \
+                self.decoder.infer(memory, k_dec, max_steps,
+                                   memory_lengths=text_lengths)
 
         post = self.postnet(mel_outputs.transpose(0, 2, 1), False, k_post)
         mel_outputs_postnet = mel_outputs + post.transpose(0, 2, 1)

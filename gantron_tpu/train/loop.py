@@ -387,10 +387,13 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 pending_log = (iteration, metrics)
             else:
                 attn_w = 10.0 if iteration < hp.attn_steps else 0.0
-                state, metrics, gen_mel = g_step(state, sharded,
-                                                 jnp.float32(g_lr),
-                                                 jnp.float32(attn_w))
-                generated_mel_list.append((gen_mel, sharded.output_lengths))
+                state, metrics, fake_pair = g_step(state, sharded,
+                                                   jnp.float32(g_lr),
+                                                   jnp.float32(attn_w))
+                # (mel, lengths): teacher-forced mel + batch lengths, or the
+                # free-running rollout + gate lengths under
+                # hp.adversarial_rollouts (see train.step.g_step).
+                generated_mel_list.append(fake_pair)
                 if len(generated_mel_list) > max(hp.d_freq, 1):
                     generated_mel_list.pop(0)
                 flush_log()

@@ -120,6 +120,15 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             "gradient_penalty_lambda > 0 is not supported with "
             "discriminator_type='linear'; use the conv discriminator or "
             "disable the gradient penalty")
+    rollouts = bool(getattr(hp, "adversarial_rollouts", False)) and hp.d_freq > 0
+    if rollouts and getattr(hp, "quantized_inference", False):
+        # The int8 scan weights round-trip through quantize_per_channel whose
+        # round() has zero gradient — rollout training would silently stop
+        # learning the recurrence matrices.
+        raise NotImplementedError(
+            "adversarial_rollouts=True cannot train through "
+            "quantized_inference=True (int8 rounding kills the rollout "
+            "gradients); quantize for serving only")
     # fp16_run maps to bfloat16 compute on TPU (checked here, not only in
     # __post_init__, so late `--hparams fp16_run=True` overrides work too).
     bf16 = (getattr(hp, "compute_dtype", "float32") == "bfloat16"
@@ -140,7 +149,13 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
 
     # ---------------- generator ----------------
     def g_step(state, batch: Batch, g_lr, attn_weight):
-        rng, k_drop, k_noise, k_disc = jax.random.split(state.rng, 4)
+        """One fused generator update. Returns (state, metrics,
+        (fake_mel, fake_lengths)) — the fake pair feeds the loop's ring
+        buffer for subsequent D steps: the teacher-forced mel with the
+        batch's lengths by default, the free-running rollout mel with its
+        gate-decided lengths when ``hp.adversarial_rollouts``."""
+        (rng, k_drop, k_noise, k_disc, k_roll, k_roll_noise,
+         k_roll_disc) = jax.random.split(state.rng, 7)
 
         def loss_fn(g_params, dw_offsets):
             mels_in = (batch.mels.astype(jnp.bfloat16) if bf16
@@ -169,13 +184,42 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                                        _cast_in(gen_mel),
                                        batch.output_lengths, k_disc)
                 adv = adv.astype(jnp.float32)
-            total = taco + adv + attn_weight * attn_l
+            fake_pair = (out[1], batch.output_lengths)
+            roll_adv = jnp.zeros(())
+            if rollouts:
+                # Free-running decode of the SAME batch: fresh noise, no
+                # teacher forcing, pad-masked attention. Differentiable end
+                # to end (the open-loop scan has no stop_gradient when
+                # unquantized), so D's score on what the model actually
+                # samples reaches every generator weight.
+                K = getattr(hp, "n_frames_per_step", 1)
+                roll = generator.apply(
+                    {"params": _cast_in(g_params),
+                     "batch_stats": state.g_batch_stats},
+                    batch.text, None, batch.emotions, batch.speaker,
+                    batch.mels.shape[2] // K,
+                    method=generator.infer,
+                    text_lengths=batch.text_lengths,
+                    rngs={"dropout": k_roll, "noise": k_roll_noise})
+                roll_mel = roll[1].astype(jnp.float32)
+                roll_lengths = roll[4]
+                roll_p = pad_mel_to_window(roll_mel, hp.discriminator_window)
+                roll_adv = real * _adv_loss(discriminator,
+                                            _cast_in(state.d_params),
+                                            _cast_in(roll_p),
+                                            roll_lengths, k_roll_disc)
+                roll_adv = roll_adv.astype(jnp.float32)
+                # D then trains against the distribution serving will sample.
+                fake_pair = (roll_mel, roll_lengths)
+            total = taco + adv + roll_adv + attn_weight * attn_l
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,
                        batch_stats=new_bs,
-                       generated_mel=out[1],
+                       generated_mel=fake_pair,
                        dw_aux=dw_aux)
+            if rollouts:
+                aux["rollout_adversarial_loss"] = roll_adv
             return total, aux
 
         if deferred_dw:
@@ -200,9 +244,9 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             step=state.step + 1, g_params=g_params,
             g_batch_stats=aux.pop("batch_stats"), g_opt_state=g_opt_state,
             rng=rng)
-        generated_mel = aux.pop("generated_mel")
+        fake_pair = aux.pop("generated_mel")
         aux["grad_norm"] = grad_norm
-        return new_state, aux, generated_mel
+        return new_state, aux, fake_pair
 
     # ---------------- discriminator ----------------
     def d_step(state, real_mel, real_lengths, gen_mel, gen_lengths, d_lr):

@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = {
     "gan": {},
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
+    # Free-running adversarial rollouts: D scores (and trains against) the
+    # open-loop sampling distribution instead of teacher-forced outputs —
+    # the lever the mode-attribution study motivates (the teacher-forced GAN
+    # leaves the latent unused; see docs/TRAINING_EVIDENCE.md).
+    "rollout": {"adversarial_rollouts": True},
 }
 
 STUDY_TEXT = "aeioumnst"

@@ -24,7 +24,7 @@ def _one_g_step(hp, batch, seed=0):
     state, gen, disc, g_tx, d_tx = create_train_state(
         hp, jax.random.PRNGKey(seed), tuple(batch))
     g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
-    new_state, metrics, gen_mel = jax.jit(g_step)(
+    new_state, metrics, (gen_mel, _) = jax.jit(g_step)(
         state, batch, jnp.float32(1e-3), jnp.float32(10.0))
     return new_state, metrics, gen_mel
 

@@ -65,13 +65,15 @@ def setup():
 def test_g_step_updates_params(setup):
     hp, batch, state, (g_step, d_step, eval_step) = setup
     before = state.g_params["embedding"]
-    state2, metrics, gen_mel = g_step(state, batch, jnp.float32(1e-3),
-                                      jnp.float32(10.0))
+    state2, metrics, (gen_mel, gen_lengths) = g_step(
+        state, batch, jnp.float32(1e-3), jnp.float32(10.0))
     assert int(state2.step) == int(state.step) + 1
     for k in ("generator_loss", "mel_loss", "gate_loss", "attention_loss",
               "adversarial_loss", "grad_norm"):
         assert np.isfinite(float(metrics[k])), k
     assert gen_mel.shape == batch.mels.shape
+    np.testing.assert_array_equal(np.asarray(gen_lengths),
+                                  np.asarray(batch.output_lengths))
     assert not np.allclose(np.asarray(before),
                            np.asarray(state2.g_params["embedding"]))
     # Discriminator untouched by a G step.
@@ -82,9 +84,10 @@ def test_g_step_updates_params(setup):
 
 def test_d_step_updates_discriminator(setup):
     hp, batch, state, (g_step, d_step, eval_step) = setup
-    _, _, gen_mel = g_step(state, batch, jnp.float32(1e-3), jnp.float32(10.0))
+    _, _, (gen_mel, gen_lengths) = g_step(state, batch, jnp.float32(1e-3),
+                                          jnp.float32(10.0))
     state2, metrics = d_step(state, batch.mels, batch.output_lengths,
-                             gen_mel, batch.output_lengths, jnp.float32(7e-4))
+                             gen_mel, gen_lengths, jnp.float32(7e-4))
     for k in ("discriminator_loss", "real_loss", "fake_loss"):
         assert np.isfinite(float(metrics[k])), k
     d0 = jax.tree.leaves(state.d_params)[0]
@@ -153,10 +156,10 @@ def test_bf16_mixed_precision_step():
     state, gen, disc, g_tx, d_tx = create_train_state(
         hp, jax.random.PRNGKey(0), tuple(batch))
     g_step, d_step, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
-    s2, m, gm = jax.jit(g_step)(state, batch, jnp.float32(1e-3),
-                                jnp.float32(10.0))
+    s2, m, (gm, gl) = jax.jit(g_step)(state, batch, jnp.float32(1e-3),
+                                      jnp.float32(10.0))
     assert np.isfinite(float(m["generator_loss"]))
     assert jax.tree.leaves(s2.g_params)[0].dtype == jnp.float32
     s3, dm = jax.jit(d_step)(s2, batch.mels, batch.output_lengths, gm,
-                             batch.output_lengths, jnp.float32(7e-4))
+                             gl, jnp.float32(7e-4))
     assert np.isfinite(float(dm["discriminator_loss"]))
