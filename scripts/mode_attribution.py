@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Noise-vs-dropout mode attribution on a trained mode-study checkpoint.
+
+A free-running GANtron sample has TWO randomness sources: the injected
+noise/style vector (the designed latent, reference model.py:184-191,
+273-279) and the always-on prenet dropout (reference model.py:104). The
+mode-commitment study (scripts/gan_mode_study.py) scores diversity across
+full samples, which draws BOTH — so diversity alone cannot tell whether the
+latent controls the output mode or the decoder is flipping a coin in its
+dropout masks.
+
+This instrument separates them on an existing checkpoint: an N x M grid of
+(noise style i, dropout key j) decodes of the same text. ``style`` is
+injected deterministically (Tacotron2.infer(style=...) bypasses the noise
+rng), so along j only dropout varies and along i only the latent varies.
+
+  * within_noise_consistency: mean over styles of the majority-mode fraction
+    across the M dropout draws. 1.0 = the latent fully determines the mode;
+    the chance floor is max(frac_hi, 1-frac_hi) of the grid.
+  * noise_mode_split: per-style majority modes — how many of the N latents
+    map to each mode (latent-driven diversity).
+  * flip contrast: holding ONE dropout key and varying styles vs holding one
+    style and varying dropout keys.
+
+Usage:
+  python scripts/mode_attribution.py --run_dir /tmp/modestudy/gan_s1 \
+      --variant gan --iterations 3000 [--n_styles 16 --n_dropout 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+STUDY_TEXT = "aeioumnst"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run_dir", required=True,
+                        help="a gan_mode_study output dir (checkpoint + "
+                             "mode_study.json with real_anchors)")
+    parser.add_argument("--variant", choices=("gan", "nogan"), default="gan")
+    parser.add_argument("--iterations", type=int, default=3000,
+                        help="must match the training run (schedule-derived "
+                             "hparams feed the model config)")
+    parser.add_argument("--n_styles", type=int, default=16)
+    parser.add_argument("--n_dropout", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the CPU backend (the axon site hook "
+                             "re-sets JAX_PLATFORMS)")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from _study_common import small_model_params
+    from gan_mode_study import VARIANTS
+    from gantron_tpu.config import HParams
+    from gantron_tpu.eval.mode_study import hiband_channels, hiband_level
+    from gantron_tpu.text import text_to_sequence
+    from gantron_tpu.train.checkpoint import CheckpointManager
+    from gantron_tpu.utils.loading import load_generator
+
+    hp = HParams()
+    hp.add_params(small_model_params(args.iterations))
+    hp.add_params(dict(use_noise=True, noise_size=32, use_labels=False))
+    hp.add_params(VARIANTS[args.variant])
+
+    with open(os.path.join(args.run_dir, "mode_study.json")) as f:
+        study = json.load(f)
+    anchors = study["real_anchors"]
+    midpoint = anchors["midpoint"]
+
+    ckpt_path = CheckpointManager(args.run_dir).latest()
+    model, variables = load_generator(ckpt_path, hp)
+    channels = hiband_channels(hp)
+
+    seq = np.asarray(
+        text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)[None]
+    N, M = args.n_styles, args.n_dropout
+    text_batch = jnp.broadcast_to(jnp.asarray(seq), (N, seq.shape[1]))
+
+    key = jax.random.PRNGKey(100 + args.seed)
+    k_style, k_drop = jax.random.split(key)
+    # One style row per latent draw, identical across the M calls.
+    styles = jax.random.uniform(k_style, (N, 1, hp.noise_size))
+
+    infer = jax.jit(lambda v, text, style, kd, kn: model.apply(
+        v, text, style, None, None, hp.max_decoder_steps,
+        method=model.infer, rngs={"dropout": kd, "noise": kn}))
+
+    levels = np.zeros((N, M))
+    for j in range(M):
+        kd = jax.random.fold_in(k_drop, j)
+        out = infer(variables, text_batch, styles, kd,
+                    jax.random.fold_in(kd, 999))  # noise rng unused w/ style
+        mels = np.asarray(out[1])
+        lens = np.asarray(out[4])
+        for i in range(N):
+            m = mels[i, :, : max(int(lens[i]), 2)]
+            levels[i, j] = hiband_level(m, channels)
+
+    mode = levels > midpoint  # (N, M) True = textured/hi mode
+    hi_per_style = mode.sum(axis=1)
+    majority = np.maximum(hi_per_style, M - hi_per_style) / M
+    frac_hi = float(mode.mean())
+    chance_floor = max(frac_hi, 1 - frac_hi)
+    n_hi_styles = int((hi_per_style > M / 2).sum())
+
+    # Contrast: variance of the hi-fraction across styles vs across dropout
+    # keys. Latent-driven -> style axis explains the spread.
+    hi_by_style = mode.mean(axis=1)  # (N,)
+    hi_by_drop = mode.mean(axis=0)   # (M,)
+
+    result = {
+        "run_dir": args.run_dir,
+        "variant": args.variant,
+        "checkpoint": os.path.basename(ckpt_path),
+        "n_styles": N,
+        "n_dropout": M,
+        "grid_frac_hi": round(frac_hi, 4),
+        "within_noise_consistency": round(float(majority.mean()), 4),
+        "consistency_chance_floor": round(chance_floor, 4),
+        "styles_majority_hi": n_hi_styles,
+        "styles_majority_lo": N - n_hi_styles,
+        "hi_fraction_std_across_styles": round(float(hi_by_style.std()), 4),
+        "hi_fraction_std_across_dropout": round(float(hi_by_drop.std()), 4),
+        "per_style_hi_counts": hi_per_style.tolist(),
+        "level_grid": np.round(levels, 3).tolist(),
+        "anchors": anchors,
+        "device": str(jax.devices()[0]),
+    }
+    out_path = os.path.join(args.run_dir, "mode_attribution.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("level_grid", "per_style_hi_counts")},
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()
