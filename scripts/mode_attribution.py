@@ -117,6 +117,16 @@ def main():
     frac_hi = float(mode.mean())
     chance_floor = max(frac_hi, 1 - frac_hi)
     n_hi_styles = int((hi_per_style > M / 2).sum())
+    # Per-style structure test: under "dropout decides, style is ignored"
+    # the per-style hi counts are Binomial(M, frac_hi); a latent-driven mode
+    # split overdisperses them. chi2 p < ~0.05 = real per-style structure.
+    if 0.0 < frac_hi < 1.0:
+        from scipy import stats
+        chi2 = float(((hi_per_style - M * frac_hi) ** 2
+                      / (M * frac_hi * (1 - frac_hi))).sum())
+        chi2_p = float(1 - stats.chi2.cdf(chi2, df=N - 1))
+    else:
+        chi2, chi2_p = 0.0, 1.0  # degenerate grid (fully collapsed)
 
     # Contrast: variance of the hi-fraction across styles vs across dropout
     # keys. Latent-driven -> style axis explains the spread.
@@ -134,6 +144,8 @@ def main():
         "consistency_chance_floor": round(chance_floor, 4),
         "styles_majority_hi": n_hi_styles,
         "styles_majority_lo": N - n_hi_styles,
+        "per_style_chi2": round(chi2, 2),
+        "per_style_chi2_p": round(chi2_p, 4),
         "hi_fraction_std_across_styles": round(float(hi_by_style.std()), 4),
         "hi_fraction_std_across_dropout": round(float(hi_by_drop.std()), 4),
         "per_style_hi_counts": hi_per_style.tolist(),
