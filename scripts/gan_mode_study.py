@@ -50,6 +50,10 @@ def main():
                         help="replication seed: shifts the corpus draw, the "
                              "training PRNG, and the sampling key together")
     parser.add_argument("--hparams", type=str, default=None)
+    parser.add_argument("--analyze_only", action="store_true",
+                        help="skip training: score the newest checkpoint "
+                             "already in the output dir (also works on a "
+                             "PARTIAL run's periodic checkpoints)")
     args = parser.parse_args()
 
     from gantron_tpu.utils.cache import enable_compilation_cache
@@ -92,10 +96,13 @@ def main():
 
     out = os.path.join(args.output, args.variant
                        + (f"_s{args.seed}" if args.seed else ""))
-    logger = MetricLogger(out, run_name=args.variant)
-    t0 = time.time()
-    state, iteration = train(out, None, False, hp, wav_dir, logger=logger)
-    train_seconds = time.time() - t0
+    if args.analyze_only:
+        iteration, train_seconds = None, None  # read from the ckpt below
+    else:
+        logger = MetricLogger(out, run_name=args.variant)
+        t0 = time.time()
+        state, iteration = train(out, None, False, hp, wav_dir, logger=logger)
+        train_seconds = round(time.time() - t0, 1)
 
     final_val = final_validation(
         os.path.join(out, f"{args.variant}.metrics.jsonl"))
@@ -114,6 +121,9 @@ def main():
 
     # Free-running generation: one text, `samples` independent noise draws.
     ckpt_path = CheckpointManager(out).latest()
+    if iteration is None:  # --analyze_only: iteration from the ckpt name
+        iteration = int(os.path.basename(ckpt_path)
+                        .split("iter=")[1].split("_")[0])
     model, variables = load_generator(ckpt_path, hp)
     seq = np.asarray(
         text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)[None]
@@ -132,13 +142,14 @@ def main():
         "variant": args.variant,
         "hparams": dict(VARIANTS[args.variant]),
         "iterations": iteration,
-        "train_seconds": round(train_seconds, 1),
+        "train_seconds": train_seconds,
         "final_validation": final_val,
         "real_anchors": {k: round(v, 3) for k, v in anchors.items()},
         "generated": stats,
         "generated_mel_sharpness": float(np.mean(sharp)),
         "n_utts": args.n_utts,
         "seed": args.seed,
+        "analyze_only": args.analyze_only,
         "device": str(jax.devices()[0]),
     }
     with open(os.path.join(out, "mode_study.json"), "w") as f:
