@@ -45,7 +45,11 @@ def main():
     parser.add_argument("--run_dir", required=True,
                         help="a gan_mode_study output dir (checkpoint + "
                              "mode_study.json with real_anchors)")
-    parser.add_argument("--variant", choices=("gan", "nogan"), default="gan")
+    # Any study variant: they share the inference architecture (the variant
+    # overrides only touch the training schedule), but recording the true
+    # variant keeps the artifact's provenance straight.
+    parser.add_argument("--variant", default="gan",
+                        choices=("gan", "nogan", "rollout"))
     parser.add_argument("--iterations", type=int, default=3000,
                         help="must match the training run (schedule-derived "
                              "hparams feed the model config)")
