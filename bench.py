@@ -19,6 +19,7 @@ vs_baseline >= 3.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -26,6 +27,48 @@ import jax.numpy as jnp
 import numpy as np
 
 V100_BASELINE_STEPS_PER_SEC = 1.8
+
+# Backend init through the axon tunnel either raises RuntimeError
+# (Unavailable) quickly or hangs; both must become a parsable skip line so
+# the driver record distinguishes "chip down" from "code broke"
+# (BENCH_r03 captured a 30-line traceback for a chip outage).
+BACKEND_INIT_TIMEOUT_S = 240
+
+
+def _probe_backend():
+    """Initialize the JAX backend in a SUBPROCESS, converting outages into a
+    skip marker. A subprocess (not signal.alarm) because a hanging tunnel
+    blocks inside a C call where Python signal handlers never run — measured:
+    jax.devices() hung >9 min without raising during the round-3/4 outage.
+
+    Returns None on success. On failure prints ONE parsable JSON line with
+    ``"skipped": "tpu-unavailable"`` and returns an exit code (0: an outage
+    is not a code regression).
+    """
+    import subprocess
+
+    err = None
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=BACKEND_INIT_TIMEOUT_S, capture_output=True, text=True)
+        if r.returncode != 0:
+            tail = [ln for ln in r.stderr.strip().splitlines() if ln.strip()]
+            err = tail[-1][:200] if tail else f"probe exit {r.returncode}"
+    except subprocess.TimeoutExpired:
+        err = f"backend init exceeded {BACKEND_INIT_TIMEOUT_S}s (hang)"
+    if err is None:
+        return None
+    print(json.dumps({
+        "metric": "LJSpeech-shape GAN train steps/sec/chip "
+                  f"(batch {BATCH}, T_out {T_OUT}, G/G/D cycle)",
+        "value": None,
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "skipped": "tpu-unavailable",
+        "error": err,
+    }))
+    return 0
 
 # Production-shaped synthetic batch: LJSpeech mel lengths average ~560 frames
 # at 22.05 kHz / hop 256; text ~110 symbols.
@@ -63,6 +106,10 @@ def make_batch(hp, seed=0, B=None):
 
 
 def main():
+    rc = _probe_backend()
+    if rc is not None:
+        sys.exit(rc)
+
     from gantron_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

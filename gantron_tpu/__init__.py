@@ -15,3 +15,17 @@ Layer map:
 """
 
 __version__ = "0.1.0"
+
+# Operational escape hatch: GANTRON_PLATFORM=cpu pins the JAX backend for
+# every CLI/script importing this package. Needed because site hooks can
+# re-set JAX_PLATFORMS after the user's environment does (the axon hook
+# re-points it at a possibly-unreachable tunnelled TPU, which HANGS backend
+# init rather than raising); ``jax.config.update`` wins over the env var as
+# long as it runs before first device use — importing gantron_tpu qualifies.
+import os as _os
+
+_platform = _os.environ.get("GANTRON_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)

@@ -207,6 +207,17 @@ class HParams:
     # differentiating a free run prohibitively slow); a scan makes it one more
     # compiled graph. Off by default (parity).
     adversarial_rollouts: bool = False
+    # InfoGAN-style latent identification (builds on adversarial_rollouts):
+    # a small StyleEncoder head predicts the injected noise/style vector back
+    # from the FREE-RUNNING rollout mel, and the prediction error joins the G
+    # loss with this weight. Adversarial pressure alone matches the sampled
+    # DISTRIBUTION but never asks the latent to carry the mode (measured:
+    # docs/TRAINING_EVIDENCE.md — the reference's own noise input,
+    # model.py:184-191/273-279, stays functionally dead under its
+    # teacher-forced scheme, train.py:371-383, and rollouts alone do not
+    # identify it either); maximizing latent->output mutual information does.
+    # 0 disables (parity). Requires use_noise and adversarial_rollouts.
+    style_reconstruction_weight: float = 0.0
 
     def __post_init__(self):
         if self.n_symbols == 0:

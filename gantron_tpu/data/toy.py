@@ -195,6 +195,68 @@ def build_bimodal_corpus(root: str, n_utts: int = 200, n_train: int = None,
     return wav_dir + os.sep, train_list, val_list, modes
 
 
+# --- Stochastic-texture corpus: GAN-vs-MSE per-frame sharpness study ---
+#
+# The bimodal corpus above tests MODE SELECTION (one global hidden bit per
+# utterance). This corpus tests PER-FRAME TEXTURE: the high-band amplitude
+# is re-drawn i.i.d. every mel frame, so it is unpredictable from text,
+# labels, AND all history. The MSE-optimal prediction is the constant
+# conditional mean — a flat high band with near-zero frame-to-frame
+# variability; matching the real distribution requires per-frame variance
+# that only an adversarial (distribution-matching) objective rewards. The
+# measurement is the within-utterance temporal spread of the high-band
+# level (eval.mode_study.hiband_series).
+
+# Amplitude block size in samples. 2x the 256-sample mel hop: the 1024-wide
+# STFT window averages ~4 hops, so per-hop draws wash out (measured
+# within-utterance hiband std 0.29 at 256 vs 0.49 at 512 with the fastest
+# frame-to-frame movement; 1024 is larger-std but slower-moving).
+TEXTURE_HOP = 512
+
+
+def synth_texture_utterance(text: str, rng) -> np.ndarray:
+    """Tone-language utterance + >=5 kHz noise whose amplitude is redrawn
+    uniformly at every ``TEXTURE_HOP``-sample block."""
+    wav = synth_utterance(text, rng)
+    noise = rng.randn(wav.size).astype(np.float32)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
+    spec[freqs < HIBAND_LO_HZ] = 0
+    noise = np.fft.irfft(spec, n=wav.size).astype(np.float32)
+    noise /= max(np.std(noise), 1e-6)
+    n_frames = (wav.size + TEXTURE_HOP - 1) // TEXTURE_HOP
+    amps = rng.rand(n_frames).astype(np.float32)  # i.i.d. per frame
+    amp_per_sample = np.repeat(amps, TEXTURE_HOP)[: wav.size]
+    wav = wav + 2.0 * HIBAND_AMP * noise * amp_per_sample
+    return wav.astype(np.float32)
+
+
+def build_texture_corpus(root: str, n_utts: int = 200, n_train: int = None,
+                         min_chars: int = 5, max_chars: int = 9,
+                         seed: int = 0):
+    """LJSpeech-layout corpus with i.i.d. per-frame high-band texture.
+    Returns (wav_dir_with_sep, train_filelist, val_filelist)."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        write_wav(os.path.join(wav_dir, f"u{i}.wav"),
+                  synth_texture_utterance(text, rng), SR)
+        lines.append(f"u{i}.wav|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    with open(train_list, "w") as f:
+        f.write("\n".join(lines[:n_train]) + "\n")
+    with open(val_list, "w") as f:
+        f.write("\n".join(lines[n_train:]) + "\n")
+    return wav_dir + os.sep, train_list, val_list
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

@@ -39,6 +39,49 @@ def hiband_level(mel: np.ndarray, channels: np.ndarray) -> float:
     return float(mel[channels].mean())
 
 
+def hiband_series(mel: np.ndarray, channels: np.ndarray) -> np.ndarray:
+    """Per-frame high-band level series over the voiced frames of one
+    (n_mel, T) mel (same voiced-frame rule as ``hiband_level``)."""
+    mel = np.asarray(mel)
+    if mel.ndim == 3:
+        mel = mel[0]
+    frame_energy = mel.mean(axis=0)
+    if mel.shape[1] >= 8:
+        keep = frame_energy >= np.quantile(frame_energy, 0.10)
+        mel = mel[:, keep]
+    return mel[channels].mean(axis=0)
+
+
+def texture_stats(mels_with_lengths, channels: np.ndarray) -> dict:
+    """Per-frame texture statistics for the stochastic-texture corpus study
+    (data.toy.build_texture_corpus): how much does the high-band level move
+    frame to frame WITHIN an utterance?
+
+    A mean-regressed (MSE-optimal) generator outputs the constant
+    conditional mean -> ``temporal_std`` near zero; the real corpus redraws
+    the amplitude i.i.d. per frame -> a large, known spread. ``mels`` may be
+    real training mels or generated samples.
+    """
+    stds, diffs, levels = [], [], []
+    for mel, L in mels_with_lengths:
+        mel = np.asarray(mel)
+        if mel.ndim == 3:
+            mel = mel[0]
+        mel = mel[:, : max(int(L), 2)]
+        s = hiband_series(mel, channels)
+        if s.size >= 4:
+            stds.append(float(s.std()))
+            diffs.append(float(np.mean(np.abs(np.diff(s)))))
+            levels.append(float(s.mean()))
+    return {
+        "n": len(stds),
+        "temporal_std": float(np.mean(stds)) if stds else 0.0,
+        "temporal_std_spread": float(np.std(stds)) if stds else 0.0,
+        "frame_diff": float(np.mean(diffs)) if diffs else 0.0,
+        "level_mean": float(np.mean(levels)) if levels else 0.0,
+    }
+
+
 def mode_anchor_levels(levels_by_mode) -> dict:
     """Real-corpus anchors: ``levels_by_mode`` maps mode (0/1) -> list of
     per-utterance high-band levels. Returns the two mode means plus the

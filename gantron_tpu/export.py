@@ -29,16 +29,21 @@ import jax.numpy as jnp
 
 def make_infer_fn(model, variables, max_steps: Optional[int] = None,
                   waveglow=None, sigma: float = 0.666):
-    """Build ``fn(text_ids, key[, emotions, speaker]) -> (out, lengths)``
-    where ``out`` is the postnet mel (B, n_mel, S) — or the waveform
-    (B, S*hop*...) when ``waveglow`` is given."""
+    """Build ``fn(text_ids, text_lengths, key[, emotions, speaker]) ->
+    (out, lengths)`` where ``out`` is the postnet mel (B, n_mel, S) — or the
+    waveform (B, S*hop*...) when ``waveglow`` is given.
+
+    ``text_lengths`` (B,) are the TRUE per-sample lengths: exported serving
+    pads every text to the artifact's static length (``pad_text``), and the
+    mask keeps encoder state and attention off the pad positions — without
+    it a ragged batch silently attends to pad embeddings."""
     hp = model.hp
     conditioned = bool(hp.vesus_path)
 
-    def fn(text_ids, key, emotions=None, speaker=None):
+    def fn(text_ids, text_lengths, key, emotions=None, speaker=None):
         out = model.apply(
             variables, text_ids, None, emotions, speaker, max_steps, False,
-            method=model.infer,
+            method=model.infer, text_lengths=text_lengths,
             rngs={"dropout": jax.random.fold_in(key, 0),
                   "noise": jax.random.fold_in(key, 1)})
         mel_post, lengths = out[1], out[4]
@@ -88,14 +93,15 @@ def export_tts(model, variables, path: str, batch_size: Optional[int] = 1,
         batch_size = syms.get("b", batch_size)
         text_len = syms.get("t", text_len)
     args = [jax.ShapeDtypeStruct((batch_size, text_len), jnp.int32),
+            jax.ShapeDtypeStruct((batch_size,), jnp.int32),
             jax.ShapeDtypeStruct((2,), jnp.uint32)]
     if conditioned:
         args += [jax.ShapeDtypeStruct((batch_size, 5), jnp.float32),
                  jax.ShapeDtypeStruct((batch_size,), jnp.int32)]
         wrapped = fn
     else:
-        def wrapped(text_ids, key):
-            return fn(text_ids, key)
+        def wrapped(text_ids, text_lengths, key):
+            return fn(text_ids, text_lengths, key)
 
     exported = jax.export.export(jax.jit(wrapped),
                                  platforms=tuple(platforms))(*args)
@@ -108,8 +114,9 @@ def export_tts(model, variables, path: str, batch_size: Optional[int] = 1,
 
 def load_exported(path: str):
     """Deserialize an exported artifact; returns a callable
-    ``fn(text_ids, key[, emotions, speaker]) -> (out, lengths)``. Needs no
-    model code or checkpoint — the weights live inside the artifact."""
+    ``fn(text_ids, text_lengths, key[, emotions, speaker]) ->
+    (out, lengths)``. Needs no model code or checkpoint — the weights live
+    inside the artifact."""
     with open(path, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
     return exported.call

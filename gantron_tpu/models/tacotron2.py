@@ -70,9 +70,22 @@ class Encoder(nn.Module):
     hp: object
 
     @nn.compact
-    def __call__(self, x, input_lengths, train: bool, dropout_rng):
+    def __call__(self, x, input_lengths, train: bool, dropout_rng,
+                 mask=None):
+        """``mask``: optional (B, T) validity mask. The TRAINING path leaves
+        it None — the reference's convs see pad-symbol embeddings
+        (model.py:216-222 packs only the LSTM), and teacher-forced parity
+        depends on matching that. INFERENCE on padded batches passes the
+        mask so activations at pad positions are zeroed before every conv:
+        valid outputs then see only zeros beyond each sample's length
+        (exactly SAME-padding of the unpadded text), making serving decodes
+        invariant to the padding amount."""
         hp = self.hp
         for i in range(hp.encoder_n_convolutions):
+            if mask is not None:
+                # Re-applied per layer: conv bias + BN shift re-populate pad
+                # positions after each conv.
+                x = jnp.where(mask[..., None], x, 0.0)
             x = ConvNorm(hp.encoder_embedding_dim,
                          kernel_size=hp.encoder_kernel_size, gain="relu",
                          name=f"conv_{i}")(x)
@@ -113,6 +126,49 @@ class Postnet(nn.Module):
                 dropout_rng, sub = jax.random.split(dropout_rng)
                 x = _dropout(x, 0.5, sub)
         return x
+
+
+class StyleEncoder(nn.Module):
+    """InfoGAN-style identification head: free-running mel -> predicted
+    style/noise vector in (0, 1).
+
+    No reference counterpart — the reference injects a uniform latent
+    (model.py:184-191, 273-279) but its training scheme never asks the
+    latent to carry information (train.py:371-383 scores only teacher-forced
+    outputs, where the forced history determines the mode), and measurement
+    shows the latent stays functionally dead (docs/TRAINING_EVIDENCE.md).
+    Reconstructing the injected style from the ROLLOUT mel is a variational
+    lower bound on I(style; mel) — the standard InfoGAN Q head — and its
+    gradient reaches the generator through the differentiable rollout scan.
+
+    Two strided convs + masked mean-pool + dense; sigmoid output matches the
+    uniform-(0,1) style prior. Deliberately small: it only needs to read a
+    global texture statistic, and it rides along every rollout G step.
+    """
+
+    hp: object
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, mel_bmt, lengths):
+        """(B, n_mel, T) mel + (B,) valid frame lengths -> (B, out_dim)."""
+        hp = self.hp
+        D = max(hp.n_mel_channels, 128)
+        x = mel_bmt.transpose(0, 2, 1)  # (B, T, n_mel), channel-last
+        x = nn.Conv(D, kernel_size=(5,), strides=(2,), padding="SAME",
+                    name="conv_0")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(D, kernel_size=(5,), strides=(2,), padding="SAME",
+                    name="conv_1")(x)
+        x = jax.nn.relu(x)
+        # Masked mean over the valid (stride-4 downsampled) frames: rollout
+        # lengths are gate-decided per sample, and frames past the stop are
+        # zero — they must not dilute the pooled statistic.
+        T4 = x.shape[1]
+        valid = get_mask_from_lengths((lengths + 3) // 4, T4)  # (B, T4)
+        denom = jnp.maximum(valid.sum(axis=1, keepdims=True), 1)
+        pooled = (x * valid[..., None]).sum(axis=1) / denom
+        return jax.nn.sigmoid(nn.Dense(self.out_dim, name="out")(pooled))
 
 
 class Decoder(nn.Module):
@@ -439,13 +495,18 @@ class Decoder(nn.Module):
                 jnp.full((B,), cap, jnp.int32),
                 jnp.int32(0))
 
-    def infer_segment(self, memory, carry, dropout_rng, n_steps: int):
+    def infer_segment(self, memory, carry, dropout_rng, n_steps: int,
+                      memory_lengths=None):
         """Run ``n_steps`` decoder steps from ``carry`` (streaming synthesis:
         the caller vocodes each mel segment while the next one decodes,
         giving time-to-first-audio ~ one segment instead of the full
         utterance). Per-step dropout keys derive from the absolute step index
         (``fold_in(rng, t)``) so the decode stream is invariant to the
         segment size.
+
+        ``memory_lengths``: optional (B,) valid memory lengths — pass for
+        PADDED streaming batches so attention masks pad positions (same
+        semantics as ``infer``).
 
         Returns (carry, mel (B, n_mel, n_steps*K), gate (B, n_steps*K),
         attn (B, n_steps, T_in), lengths (B,), all_finished ()).
@@ -456,6 +517,8 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
+        mask = (get_mask_from_lengths(memory_lengths, T_in)
+                if memory_lengths is not None else None)
 
         def step(scarry, _):
             # Keys derive from the ABSOLUTE step index so the decode stream
@@ -463,7 +526,7 @@ class Decoder(nn.Module):
             k_pre, k_core = jax.random.split(
                 jax.random.fold_in(dropout_rng, scarry[4]))
             return self._open_step(scarry, k_pre, k_core, memory,
-                                   processed_memory, W)
+                                   processed_memory, W, mask)
 
         carry, (mels, gates, attn_ws) = jax.lax.scan(
             step, carry, None, length=n_steps,
@@ -476,12 +539,17 @@ class Decoder(nn.Module):
                 jnp.all(carry[2]))
 
     def infer_early_exit(self, memory, dropout_rng,
-                         max_steps: Optional[int] = None):
+                         max_steps: Optional[int] = None,
+                         memory_lengths=None):
         """Like ``infer`` but with a ``lax.while_loop`` that stops as soon as
         every sequence's gate fires — synthesis latency scales with the
         *actual* utterance length instead of the decoder cap. Outputs are
         written into preallocated (B, n_mel, S) buffers; frames past each
         stop point are zero.
+
+        ``memory_lengths``: optional (B,) valid memory lengths — pass for
+        PADDED batches so attention masks pad positions (same semantics as
+        ``infer``).
         """
         hp = self.hp
         B, T_in, _ = memory.shape
@@ -490,6 +558,8 @@ class Decoder(nn.Module):
         processed_memory = memory @ self.memory_w
         W = self._scan_weights(
             quantize=getattr(hp, "quantized_inference", False))
+        mask = (get_mask_from_lengths(memory_lengths, T_in)
+                if memory_lengths is not None else None)
 
         state0 = self._init_state(memory)
         # Same per-step key derivation as the scan path so both modes
@@ -512,7 +582,7 @@ class Decoder(nn.Module):
             ((state, prev, finished, length, t1),
              (mel_rec, gate_t, attn_w)) = self._open_step(
                 (state, prev, finished, length, t), k_pre, k_core, memory,
-                processed_memory, W)
+                processed_memory, W, mask)
             mels = mels.at[t].set(mel_rec)
             gates = gates.at[t].set(gate_t)
             attns = attns.at[t].set(attn_w)
@@ -539,6 +609,11 @@ class Tacotron2(nn.Module):
     @property
     def noise_size(self) -> int:
         return self.hp.noise_size if self.hp.use_noise else 0
+
+    @property
+    def style_reconstruction(self) -> bool:
+        return (getattr(self.hp, "style_reconstruction_weight", 0.0) > 0
+                and self.noise_size > 0)
 
     @property
     def memory_dim(self) -> int:
@@ -575,6 +650,9 @@ class Tacotron2(nn.Module):
         self.encoder = Encoder(hp, name="encoder")
         self.decoder = Decoder(hp, self.memory_dim, name="decoder")
         self.postnet = Postnet(hp, name="postnet")
+        if self.style_reconstruction:
+            self.style_encoder = StyleEncoder(hp, self.noise_size,
+                                              name="style_encoder")
 
     # -- conditioning plumbing ----------------------------------------------
     def _encoder_side_concat(self, embedded, emotions, noise_rng, style):
@@ -667,6 +745,25 @@ class Tacotron2(nn.Module):
             return outputs
         return outputs, dec_out[3]
 
+    def predict_style(self, mel_bmt, lengths):
+        """InfoGAN Q head: free-running mel (B, n_mel, T) + valid frame
+        lengths (B,) -> predicted style vector (B, noise_size) in (0, 1).
+        Only available with ``hp.style_reconstruction_weight > 0``."""
+        return self.style_encoder(mel_bmt, lengths)
+
+    def init_full(self, text, text_lengths, mels, speaker_ids, emotions,
+                  output_lengths, train: bool = False):
+        """Initialization-only forward touching EVERY submodule: linen
+        creates a submodule's params at first call, and the style encoder
+        (when enabled) runs only in the rollout G step — without this, a
+        template built from the teacher-forced ``__call__`` alone would lack
+        its params and every subsequent apply/restore would fail."""
+        out = self(text, text_lengths, mels, speaker_ids, emotions,
+                   output_lengths, train=train)
+        if self.style_reconstruction:
+            self.predict_style(mels, output_lengths)
+        return out
+
     def parse_output(self, outputs, output_lengths=None):
         """Mask padded frames (reference model.py:632-642)."""
         if self.hp.mask_padding and output_lengths is not None:
@@ -709,7 +806,13 @@ class Tacotron2(nn.Module):
                                              enc_style)
         lengths = (text_lengths if text_lengths is not None
                    else jnp.full((B,), T, jnp.int32))
-        encoder_outputs = self.encoder(embedded, lengths, False, k_enc)
+        # Inference-only conv masking (see Encoder.__call__): with true
+        # lengths given, a padded batch's memory at valid positions is
+        # bit-identical to the same texts under any padding amount.
+        enc_mask = (get_mask_from_lengths(lengths, T)
+                    if text_lengths is not None else None)
+        encoder_outputs = self.encoder(embedded, lengths, False, k_enc,
+                                       mask=enc_mask)
 
         spk = speaker if speaker is not None else jnp.zeros((B,), jnp.int32)
         memory = self._memory_side_concat(encoder_outputs, spk,
@@ -732,7 +835,8 @@ class Tacotron2(nn.Module):
                                                    speaker, text_lengths)
         if early_exit:
             mel_outputs, gate_outputs, alignments, mel_lengths = \
-                self.decoder.infer_early_exit(memory, k_dec, max_steps)
+                self.decoder.infer_early_exit(memory, k_dec, max_steps,
+                                              memory_lengths=text_lengths)
         else:
             mel_outputs, gate_outputs, alignments, mel_lengths = \
                 self.decoder.infer(memory, k_dec, max_steps,
@@ -744,14 +848,18 @@ class Tacotron2(nn.Module):
         return [mel_outputs, mel_outputs_postnet, gate_outputs, alignments,
                 mel_lengths]
 
-    def decode_segment(self, memory, carry, n_steps: int, seg_rng=None):
+    def decode_segment(self, memory, carry, n_steps: int, seg_rng=None,
+                       memory_lengths=None):
         """Streaming: advance the decoder ``n_steps`` from ``carry`` (see
         ``Decoder.infer_segment``). ``seg_rng`` defaults to this call's
         ``dropout`` rng; pass the k_dec from ``encode_memory`` for a decode
-        stream independent of segmentation."""
+        stream independent of segmentation. ``memory_lengths``: optional
+        (B,) true text lengths for PADDED streaming batches — masks
+        attention at pad positions."""
         if seg_rng is None:
             seg_rng = self.make_rng("dropout")
-        return self.decoder.infer_segment(memory, carry, seg_rng, n_steps)
+        return self.decoder.infer_segment(memory, carry, seg_rng, n_steps,
+                                          memory_lengths=memory_lengths)
 
     def decode_init(self, memory, cap: int):
         return self.decoder.infer_init(memory, cap)

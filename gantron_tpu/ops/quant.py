@@ -68,10 +68,13 @@ def matmul_rhs(x, w):
 
     The TPU/other split is made per LOWERING platform
     (``lax.platform_dependent``), not per ``jax.default_backend()`` at trace
-    time: a multi-platform ``jax.export`` artifact (export.py defaults to
-    ``("tpu", "cpu")``) then gets the Pallas kernel in its TPU lowering and
-    the XLA path in its CPU lowering, and an artifact exported FROM a CPU
-    host still serves int8-streamed on TPU.
+    time. This covers CROSS-HOST single-platform export — an artifact
+    exported from a CPU host for ``platforms=("tpu",)`` still serves
+    int8-streamed on TPU — but NOT multi-platform artifacts: ``jax.export``
+    lowers every ``platform_dependent`` branch for every requested platform,
+    and the TPU-only Pallas kernel cannot lower for CPU, so
+    ``export.export_tts`` rejects quantized multi-platform requests (export
+    one artifact per platform instead).
     """
     if isinstance(w, QuantizedMatrix):
         if x.ndim == 2 and _pick_block_o(w.q.shape[1]) is not None:

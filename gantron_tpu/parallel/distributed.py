@@ -70,9 +70,29 @@ def barrier(name: str, timeout_s: float = 600.0) -> None:
     """
     if jax.process_count() < 2:
         return
-    from jax._src import distributed as _internal
+    try:
+        # Private JAX internals: the coordination-service client exposes the
+        # only barrier with a CONFIGURABLE deadline (the public
+        # sync_global_devices below runs a collective whose Gloo context
+        # init gives peers only ~30 s — less than a cold jit compile).
+        from jax._src import distributed as _internal
 
-    client = getattr(_internal.global_state, "client", None)
-    if client is None:
-        return
-    client.wait_at_barrier(f"gantron_barrier:{name}", int(timeout_s * 1000))
+        client = getattr(_internal.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier(f"gantron_barrier:{name}",
+                                   int(timeout_s * 1000))
+            return
+    except ImportError:
+        pass
+    # A JAX upgrade moved/removed the internal client: fall back to the
+    # public device sync (shorter implicit deadline, but a working barrier
+    # beats a silent no-op on multihost startup).
+    import warnings
+
+    warnings.warn(
+        "jax._src.distributed client unavailable; falling back to "
+        "multihost_utils.sync_global_devices for barrier "
+        f"'{name}' (fixed, shorter transport deadline)")
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"gantron_barrier:{name}")

@@ -53,8 +53,10 @@ def create_train_state(hp, rng, sample_batch):
     # Initialization runs under ONE jit: eager model.init dispatches a
     # separate tiny compile per parameter initializer (dozens of ops), which
     # is minutes of round-trips on a remote-tunnel device; jitted it is a
-    # single compile + a single device execution.
-    g_init = jax.jit(lambda r, *a: generator.init(*((r,) + a), train=False))
+    # single compile + a single device execution. init_full (not __call__)
+    # so conditional submodules (the InfoGAN style encoder) get params too.
+    g_init = jax.jit(lambda r, *a: generator.init(
+        *((r,) + a), train=False, method=generator.init_full))
     g_vars = g_init({"params": k_g, "dropout": k_drop, "noise": k_noise},
                     text, text_lengths, mels, speaker, emotions,
                     output_lengths)

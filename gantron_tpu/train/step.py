@@ -120,8 +120,23 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             "gradient_penalty_lambda > 0 is not supported with "
             "discriminator_type='linear'; use the conv discriminator or "
             "disable the gradient penalty")
-    rollouts = bool(getattr(hp, "adversarial_rollouts", False)) and hp.d_freq > 0
-    if rollouts and getattr(hp, "quantized_inference", False):
+    roll_flag = bool(getattr(hp, "adversarial_rollouts", False))
+    rollouts = roll_flag and hp.d_freq > 0
+    style_recon_w = float(getattr(hp, "style_reconstruction_weight", 0.0))
+    style_recon = style_recon_w > 0
+    if style_recon and not roll_flag:
+        raise ValueError(
+            "style_reconstruction_weight > 0 requires "
+            "adversarial_rollouts=True: the InfoGAN head reconstructs the "
+            "style from the FREE-RUNNING rollout mel (a teacher-forced mel "
+            "carries the mode in its forced history, not the latent — "
+            "docs/TRAINING_EVIDENCE.md)")
+    if style_recon and generator.noise_size == 0:
+        raise ValueError(
+            "style_reconstruction_weight > 0 requires use_noise=True with "
+            "noise_size > 0 (there is no latent to identify)")
+    roll_decode = rollouts or style_recon
+    if roll_decode and getattr(hp, "quantized_inference", False):
         # The int8 scan weights round-trip through quantize_per_channel whose
         # round() has zero gradient — rollout training would silently stop
         # learning the recurrence matrices.
@@ -186,32 +201,57 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 adv = adv.astype(jnp.float32)
             fake_pair = (out[1], batch.output_lengths)
             roll_adv = jnp.zeros(())
-            if rollouts:
+            recon_loss = jnp.zeros(())
+            if roll_decode:
                 # Free-running decode of the SAME batch: fresh noise, no
                 # teacher forcing, pad-masked attention. Differentiable end
                 # to end (the open-loop scan has no stop_gradient when
                 # unquantized), so D's score on what the model actually
                 # samples reaches every generator weight.
                 K = getattr(hp, "n_frames_per_step", 1)
+                style = None
+                if style_recon:
+                    # The latent must be a live tensor here: the InfoGAN Q
+                    # head reconstructs it from the rollout mel below.
+                    # Injecting it explicitly (instead of the in-model
+                    # "noise" rng draw) keeps the rollout distribution
+                    # identical — same uniform prior, same shape.
+                    style = jax.random.uniform(
+                        jax.random.fold_in(k_roll_noise, 1),
+                        (batch.text.shape[0], 1, generator.noise_size))
                 roll = generator.apply(
                     {"params": _cast_in(g_params),
                      "batch_stats": state.g_batch_stats},
-                    batch.text, None, batch.emotions, batch.speaker,
+                    batch.text, style, batch.emotions, batch.speaker,
                     batch.mels.shape[2] // K,
                     method=generator.infer,
                     text_lengths=batch.text_lengths,
                     rngs={"dropout": k_roll, "noise": k_roll_noise})
                 roll_mel = roll[1].astype(jnp.float32)
                 roll_lengths = roll[4]
-                roll_p = pad_mel_to_window(roll_mel, hp.discriminator_window)
-                roll_adv = real * _adv_loss(discriminator,
-                                            _cast_in(state.d_params),
-                                            _cast_in(roll_p),
-                                            roll_lengths, k_roll_disc)
-                roll_adv = roll_adv.astype(jnp.float32)
-                # D then trains against the distribution serving will sample.
-                fake_pair = (roll_mel, roll_lengths)
-            total = taco + adv + roll_adv + attn_weight * attn_l
+                if rollouts:
+                    roll_p = pad_mel_to_window(roll_mel,
+                                               hp.discriminator_window)
+                    roll_adv = real * _adv_loss(discriminator,
+                                                _cast_in(state.d_params),
+                                                _cast_in(roll_p),
+                                                roll_lengths, k_roll_disc)
+                    roll_adv = roll_adv.astype(jnp.float32)
+                    # D then trains against the distribution serving will
+                    # sample.
+                    fake_pair = (roll_mel, roll_lengths)
+                if style_recon:
+                    # Variational I(style; mel) bound: MSE against the
+                    # injected style. Gradients train Q AND reach the
+                    # generator through the rollout scan.
+                    pred = generator.apply(
+                        {"params": _cast_in(g_params)},
+                        roll[1], roll_lengths,
+                        method=generator.predict_style)
+                    recon_loss = jnp.mean(
+                        (pred.astype(jnp.float32) - style[:, 0, :]) ** 2)
+            total = (taco + adv + roll_adv + style_recon_w * recon_loss
+                     + attn_weight * attn_l)
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,
@@ -220,6 +260,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                        dw_aux=dw_aux)
             if rollouts:
                 aux["rollout_adversarial_loss"] = roll_adv
+            if style_recon:
+                aux["style_reconstruction_loss"] = recon_loss
             return total, aux
 
         if deferred_dw:

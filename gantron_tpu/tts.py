@@ -20,6 +20,16 @@ from gantron_tpu.audio.mel import MelSpectrogram, mel_to_wav_griffin_lim
 from gantron_tpu.text import text_to_sequence
 
 
+def _derive_text_lengths(ids: np.ndarray) -> np.ndarray:
+    """Per-row valid lengths of a (B, T) id batch from trailing pad (id 0)
+    runs. Symbol id 0 is the pad marker ``_`` and is never emitted by
+    ``text_to_sequence`` for real text, so trailing zeros are padding. A row
+    with no trailing zeros (or all zeros) gets the full length T."""
+    rev_nonzero = (ids[:, ::-1] != 0)
+    # argmax of all-False is 0 -> full length, the right degenerate answer.
+    return (ids.shape[1] - rev_nonzero.argmax(axis=1)).astype(np.int32)
+
+
 class Synthesizer:
     def __init__(self, model, variables, hp):
         self.model = model
@@ -37,10 +47,16 @@ class Synthesizer:
         return cls(model, variables, hp)
 
     def infer_mel(self, text, style=None, emotions=None, speaker=None,
-                  seed=0, early_exit=True):
+                  seed=0, early_exit=True, text_lengths=None):
         """Text (str, 1-D ids, or (B, T) ids) -> (mel_postnet (n_mel, L),
         length L). For a (B>1, T) batch, returns a LIST of per-sample
-        (mel, L) pairs — every row's decode is returned, not just row 0."""
+        (mel, L) pairs — every row's decode is returned, not just row 0.
+
+        ``text_lengths``: optional (B,) true lengths for a PADDED id batch.
+        When None they are derived from trailing pad (id 0) runs, so a
+        ragged batch padded with ``export.pad_text`` masks correctly by
+        default — encoder state and attention never see pad positions
+        (reference model.py:675-723 only ever decodes one unpadded text)."""
         if isinstance(text, str):
             ids = np.asarray(text_to_sequence(text, self.hp.text_cleaners),
                              np.int32)[None]
@@ -48,10 +64,13 @@ class Synthesizer:
             ids = np.asarray(text, np.int32)
             if ids.ndim == 1:
                 ids = ids[None]
+        if text_lengths is None:
+            text_lengths = _derive_text_lengths(ids)
         key = jax.random.PRNGKey(seed)
         out = self.model.apply(
             self.variables, jnp.asarray(ids), style, emotions, speaker,
             None, early_exit, method=self.model.infer,
+            text_lengths=jnp.asarray(text_lengths, jnp.int32),
             rngs={"dropout": jax.random.fold_in(key, 0),
                   "noise": jax.random.fold_in(key, 1)})
         mels = np.asarray(out[1])
@@ -128,21 +147,22 @@ class StreamingSynthesizer:
             hp.filter_length, hp.hop_length, hp.win_length,
             hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax)
 
-        self._encode = jax.jit(lambda v, text, sty, emo, spk, kd, kn:
+        self._encode = jax.jit(lambda v, text, sty, emo, spk, lens, kd, kn:
                                model.apply(
-            v, text, sty, emo, spk, method=model.encode_memory,
+            v, text, sty, emo, spk, lens, method=model.encode_memory,
             rngs={"dropout": kd, "noise": kn}))
         self._init = jax.jit(
             lambda v, memory, cap: model.apply(
                 v, memory, cap, method=model.decode_init),
             static_argnums=(2,))
         self._segment = jax.jit(
-            lambda v, memory, carry, k: model.apply(
-                v, memory, carry, chunk, k, method=model.decode_segment))
+            lambda v, memory, carry, k, lens: model.apply(
+                v, memory, carry, chunk, k, memory_lengths=lens,
+                method=model.decode_segment))
         self._postnet = jax.jit(lambda v, mel: model.apply(
             v, mel, method=model.postnet_residual))
 
-        def pipeline(v, memory, carry, tail, k_dec, k_voc):
+        def pipeline(v, memory, carry, tail, k_dec, k_voc, lens):
             """One segment end to end: decode -> postnet window -> vocode.
             The three stages stay separate jits (fusing the decoder scan and
             the 12-flow WaveGlow graph into one program compiles for many
@@ -151,7 +171,7 @@ class StreamingSynthesizer:
             Per-sync latency dominates streaming on remote-attached devices.
             """
             carry, mel_seg, _, _, lengths, finished = self._segment(
-                v, memory, carry, k_dec)
+                v, memory, carry, k_dec, lens)
             window = jnp.concatenate([tail, mel_seg], axis=2)
             wav_win = self._vocode(self._postnet(v, window), k_voc)
             # NOT `[..., -lookback:]`: at lookback=0 that negative-index
@@ -169,13 +189,16 @@ class StreamingSynthesizer:
                                       key=key)
 
     def stream(self, text, seed: int = 0, max_steps: Optional[int] = None,
-               style=None, emotions=None, speaker=None):
+               style=None, emotions=None, speaker=None, text_lengths=None):
         """Generator over (B, chunk*K*hop_length) float32 wav chunks; yields
         as soon as each chunk's audio is materialized. ``text``: str or
         (B, T) int32 ids. ``style``/``emotions``/``speaker`` condition the
         generation exactly as in ``Synthesizer.infer_mel`` (a label-trained
         model left unconditioned draws RANDOM emotions per utterance,
-        reference model.py:691-692). The final ``lengths`` (valid frames per
+        reference model.py:691-692). ``text_lengths``: optional (B,) true
+        lengths for a PADDED id batch; derived from trailing pad (id 0)
+        runs when None, so ragged streaming batches mask encoder state and
+        attention at pad positions. The final ``lengths`` (valid frames per
         sample) are available as ``self.last_lengths`` after exhaustion."""
         hp = self.hp
         if isinstance(text, str):
@@ -185,6 +208,9 @@ class StreamingSynthesizer:
             ids = np.asarray(text, np.int32)
             if ids.ndim == 1:
                 ids = ids[None]
+        if text_lengths is None:
+            text_lengths = _derive_text_lengths(ids)
+        lens = jnp.asarray(text_lengths, jnp.int32)
         cap = max_steps or hp.max_decoder_steps
         K = getattr(hp, "n_frames_per_step", 1)
         hop = hp.hop_length
@@ -193,7 +219,8 @@ class StreamingSynthesizer:
         kd, kn, kv = (jax.random.fold_in(key, i) for i in range(3))
 
         memory, k_dec, _ = self._encode(self.variables, jnp.asarray(ids),
-                                        style, emotions, speaker, kd, kn)
+                                        style, emotions, speaker, lens,
+                                        kd, kn)
         carry = self._init(self.variables, memory, cap)
         B = ids.shape[0]
         tail = jnp.zeros((B, hp.n_mel_channels, lb), memory.dtype)
@@ -209,7 +236,7 @@ class StreamingSynthesizer:
             n_valid = min(self.chunk, cap - steps)
             carry, tail, wav_win, lengths, finished = self._pipeline(
                 self.variables, memory, carry, tail, k_dec,
-                jax.random.fold_in(kv, steps))
+                jax.random.fold_in(kv, steps), lens)
             # ONE blocking round-trip per chunk: wav + stop flag + lengths
             # fetched together (each separate sync costs a full network
             # round-trip on remote-attached devices).
@@ -254,7 +281,8 @@ class StreamingSynthesizer:
 
     def synthesize(self, text, seed: int = 0,
                    max_steps: Optional[int] = None,
-                   style=None, emotions=None, speaker=None):
+                   style=None, emotions=None, speaker=None,
+                   text_lengths=None):
         """Collect the stream; returns (wav (B, T_samples) trimmed to the
         decoded lengths, ttfa_seconds, total_seconds)."""
         import time as _time
@@ -264,7 +292,7 @@ class StreamingSynthesizer:
         chunks = []
         for chunk in self.stream(text, seed=seed, max_steps=max_steps,
                                  style=style, emotions=emotions,
-                                 speaker=speaker):
+                                 speaker=speaker, text_lengths=text_lengths):
             if ttfa is None:
                 ttfa = _time.perf_counter() - t0
             chunks.append(chunk)

@@ -45,8 +45,10 @@ def _init_generator_variables(model, hp):
     B, T_in = 1, 8
     T_out = 8 * max(1, getattr(hp, "n_frames_per_step", 1))
     # One jitted compile instead of per-parameter eager dispatches (slow on
-    # remote-tunnel devices); see train.state.create_train_state.
-    init = jax.jit(lambda r, *a: model.init(*((r,) + a), train=False))
+    # remote-tunnel devices); see train.state.create_train_state. init_full
+    # so the template covers conditional submodules (InfoGAN style encoder).
+    init = jax.jit(lambda r, *a: model.init(
+        *((r,) + a), train=False, method=model.init_full))
     return init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
          "noise": jax.random.PRNGKey(2)},

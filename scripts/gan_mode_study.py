@@ -33,6 +33,12 @@ VARIANTS = {
     # the lever the mode-attribution study motivates (the teacher-forced GAN
     # leaves the latent unused; see docs/TRAINING_EVIDENCE.md).
     "rollout": {"adversarial_rollouts": True},
+    # Rollouts + InfoGAN-style latent identification: a StyleEncoder head
+    # reconstructs the injected style from the rollout mel and the error
+    # joins the G loss — the mechanism that makes the latent the mode
+    # carrier, which adversarial pressure alone never does (round-3 study).
+    "infogan": {"adversarial_rollouts": True,
+                "style_reconstruction_weight": 10.0},
 }
 
 STUDY_TEXT = "aeioumnst"

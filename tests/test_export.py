@@ -37,14 +37,15 @@ def test_export_roundtrip_matches_direct(tmp_path):
 
     rng = np.random.RandomState(0)
     text = pad_text(rng.randint(1, hp.n_symbols, (B, 10)), T_in)
+    tl = jnp.full((B,), 10, jnp.int32)
     key = jax.random.PRNGKey(7)
 
     serve = load_exported(path)
-    mel_served, len_served = serve(jnp.asarray(text), key)
+    mel_served, len_served = serve(jnp.asarray(text), tl, key)
 
     fn, conditioned = make_infer_fn(model, variables)
     assert not conditioned
-    mel_direct, len_direct = fn(jnp.asarray(text), key)
+    mel_direct, len_direct = fn(jnp.asarray(text), tl, key)
 
     np.testing.assert_array_equal(np.asarray(len_served),
                                   np.asarray(len_direct))
@@ -66,8 +67,8 @@ def test_export_conditioned_signature(tmp_path):
     text = pad_text(np.ones((B, 6), np.int32), T_in)
     emotions = jnp.asarray(np.eye(5, dtype=np.float32)[:B] )
     speaker = jnp.zeros((B,), jnp.int32)
-    mel, lengths = serve(jnp.asarray(text), jax.random.PRNGKey(0),
-                         emotions, speaker)
+    mel, lengths = serve(jnp.asarray(text), jnp.full((B,), 6, jnp.int32),
+                         jax.random.PRNGKey(0), emotions, speaker)
     assert np.isfinite(np.asarray(mel)).all()
     assert mel.shape[0] == B
 
@@ -89,8 +90,9 @@ def test_export_polymorphic_serves_any_shape(tmp_path):
     key = jax.random.PRNGKey(11)
     for B, T_in in ((1, 10), (3, 14)):
         text = jnp.asarray(rng.randint(1, hp.n_symbols, (B, T_in)), jnp.int32)
-        mel_served, len_served = serve(text, key)
-        mel_direct, len_direct = fn(text, key)
+        tl = jnp.full((B,), T_in, jnp.int32)
+        mel_served, len_served = serve(text, tl, key)
+        mel_direct, len_direct = fn(text, tl, key)
         np.testing.assert_array_equal(np.asarray(len_served),
                                       np.asarray(len_direct))
         np.testing.assert_allclose(np.asarray(mel_served),
@@ -137,10 +139,11 @@ def test_export_quantized_per_platform(tmp_path):
     serve = load_exported(path)
     key = jax.random.PRNGKey(3)
     text = pad_text(np.ones((B, 7), np.int32), T_in)
-    mel_served, len_served = serve(jnp.asarray(text), key)
+    tl = jnp.full((B,), 7, jnp.int32)
+    mel_served, len_served = serve(jnp.asarray(text), tl, key)
 
     fn, _ = make_infer_fn(model, variables)
-    mel_direct, len_direct = fn(jnp.asarray(text), key)
+    mel_direct, len_direct = fn(jnp.asarray(text), tl, key)
     np.testing.assert_array_equal(np.asarray(len_served),
                                   np.asarray(len_direct))
     np.testing.assert_allclose(np.asarray(mel_served),

@@ -1,0 +1,127 @@
+"""InfoGAN-style latent identification (hp.style_reconstruction_weight).
+
+The reference injects a uniform latent (model.py:184-191, 273-279) that its
+teacher-forced training never asks to carry information (train.py:371-383);
+the measured consequence is a functionally dead noise input
+(docs/TRAINING_EVIDENCE.md). These tests pin the mechanism that fixes it:
+a StyleEncoder head reconstructs the injected style from the free-running
+rollout mel inside the G step, its loss joins the G objective, its params
+live in g_params (checkpointed like everything else), and the gradient
+reaches BOTH the head and the generator.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gantron_tpu.train.state import create_train_state
+from gantron_tpu.train.step import make_train_steps
+
+from test_train_step import synth_batch, tiny_hp
+
+
+def _setup(**over):
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 **over)
+    batch = synth_batch(hp, B=4, T_in=10, T_out=24)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    return hp, batch, state, gen, disc, g_tx, d_tx
+
+
+def test_style_encoder_params_created_and_trained():
+    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    assert "style_encoder" in state.g_params
+    g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    g_step = jax.jit(g_step)
+
+    new_state, metrics, (fake_mel, fake_lengths) = g_step(
+        state, batch, jnp.float32(1e-3), jnp.float32(10.0))
+    recon = float(metrics["style_reconstruction_loss"])
+    assert np.isfinite(recon) and recon > 0
+    assert np.isfinite(float(metrics["generator_loss"]))
+    # The identification gradient must move the Q head...
+    before = jax.tree.leaves(state.g_params["style_encoder"])
+    after = jax.tree.leaves(new_state.g_params["style_encoder"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(after, before))
+    # ...and the fake pair feeding D is still the rollout (gate lengths).
+    assert fake_mel.shape == batch.mels.shape
+
+
+def test_recon_loss_changes_g_gradient():
+    """The reconstruction term must reach the GENERATOR weights through the
+    rollout scan, not just the Q head. Comparing weight=5 against a
+    vanishing weight=1e-9 (NOT weight=0, which would switch the rollout to
+    the in-model noise rng draw and change the decode for an unrelated
+    reason) isolates exactly the identification gradient."""
+    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    g_on, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    hp_eps = tiny_hp(adversarial_rollouts=True,
+                     style_reconstruction_weight=1e-9)
+    g_eps, _, _ = make_train_steps(hp_eps, gen, disc, g_tx, d_tx)
+
+    s_on, _, _ = jax.jit(g_on)(state, batch, jnp.float32(1e-3),
+                               jnp.float32(0.0))
+    s_eps, _, _ = jax.jit(g_eps)(state, batch, jnp.float32(1e-3),
+                                 jnp.float32(0.0))
+    d_on = np.asarray(s_on.g_params["decoder"]["proj_w"])
+    d_eps = np.asarray(s_eps.g_params["decoder"]["proj_w"])
+    assert np.abs(d_on - d_eps).max() > 0
+
+
+def test_checkpoint_roundtrip_with_style_encoder(tmp_path):
+    from gantron_tpu.train.checkpoint import CheckpointManager
+    from gantron_tpu.utils.loading import load_generator
+
+    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    mgr = CheckpointManager(str(tmp_path))
+    path = mgr.save(state, 1, 1.0)
+    model, variables = load_generator(path, hp)
+    pred = model.apply({"params": variables["params"]},
+                       batch.mels, batch.output_lengths,
+                       method=model.predict_style)
+    assert pred.shape == (4, hp.noise_size)
+    assert ((np.asarray(pred) > 0) & (np.asarray(pred) < 1)).all()
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["style_encoder"]["out"]["kernel"]),
+        np.asarray(state.g_params["style_encoder"]["out"]["kernel"]))
+
+
+def test_predict_style_masks_padding():
+    """The pooled statistic must ignore frames past each sample's length:
+    changing pad-region content must not change the prediction."""
+    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    mels = np.asarray(batch.mels).copy()
+    lengths = np.full((mels.shape[0],), 16, np.int32)
+    mels2 = mels.copy()
+    # Garbage beyond the VALID positions' receptive field (two stride-2
+    # kernel-5 convs: downsampled position j reads frames [4j-6, 4j+6];
+    # valid j <= 3 reaches frame 18): frames >= 22 touch only masked
+    # positions, so only the pool mask keeps them out of the prediction.
+    mels2[:, :, 22:] = 99.0
+    variables = {"params": state.g_params}
+    p1 = gen.apply(variables, jnp.asarray(mels), jnp.asarray(lengths),
+                   method=gen.predict_style)
+    p2 = gen.apply(variables, jnp.asarray(mels2), jnp.asarray(lengths),
+                   method=gen.predict_style)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_requires_rollouts_and_noise():
+    with pytest.raises(ValueError, match="adversarial_rollouts"):
+        hp = tiny_hp(style_reconstruction_weight=1.0)
+        batch = synth_batch(hp, B=2, T_in=8, T_out=24)
+        state, gen, disc, g_tx, d_tx = create_train_state(
+            hp, jax.random.PRNGKey(0), tuple(batch))
+        make_train_steps(hp, gen, disc, g_tx, d_tx)
+    with pytest.raises(ValueError, match="noise"):
+        hp = tiny_hp(style_reconstruction_weight=1.0,
+                     adversarial_rollouts=True, use_noise=False)
+        batch = synth_batch(hp, B=2, T_in=8, T_out=24)
+        state, gen, disc, g_tx, d_tx = create_train_state(
+            hp, jax.random.PRNGKey(0), tuple(batch))
+        make_train_steps(hp, gen, disc, g_tx, d_tx)

@@ -56,3 +56,38 @@ def test_commitment_score_ranks_committed_above_mean():
     assert blurred["frac_near_mode"] == 0.0
     # A one-to-many generator splits its draws across both modes.
     assert 0.3 <= committed["frac_hi"] <= 0.7
+
+
+def test_texture_corpus_instrument(tmp_path):
+    """The stochastic-texture corpus (per-frame sharpness study) must show a
+    LARGE within-utterance high-band spread in the training mel features,
+    and a mean-regressed (frame-constant) mel must score near zero — the
+    contrast the GAN-vs-MSE texture study measures."""
+    from gantron_tpu.data.toy import build_texture_corpus
+    from gantron_tpu.eval.mode_study import texture_stats
+
+    root = str(tmp_path)
+    wav_dir, train_list, val_list = build_texture_corpus(
+        root, n_utts=8, n_train=8)
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    channels = hiband_channels(hp)
+
+    with open(train_list) as f:
+        names = [line.split("|")[0] for line in f if line.strip()]
+    real = []
+    for name in names:
+        mel = np.asarray(ds.get_mel(os.path.join(wav_dir, name)))
+        real.append((mel, mel.shape[1]))
+    real_stats = texture_stats(real, channels)
+    assert real_stats["n"] == len(names)
+    assert real_stats["temporal_std"] > 0.35  # i.i.d. per-block amplitude
+
+    # MSE-optimal behavior: the constant conditional mean, frame to frame.
+    flat = [(np.tile(mel.mean(axis=1, keepdims=True), (1, mel.shape[1])),
+             mel.shape[1]) for mel, _ in real]
+    flat_stats = texture_stats(flat, channels)
+    assert flat_stats["temporal_std"] < 0.05 * real_stats["temporal_std"]

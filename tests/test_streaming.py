@@ -136,12 +136,13 @@ def test_streaming_lookback_zero_with_waveglow():
                                  chunk=4, lookback=0, crossfade=0)
     # The pipeline must hand back an EMPTY next-tail, not the full window.
     k = jax.random.PRNGKey(1)
+    lens = jnp.full((text.shape[0],), text.shape[1], jnp.int32)
     memory, k_dec, _ = synth._encode(variables, jnp.asarray(text), None,
-                                     None, None, k, k)
+                                     None, None, lens, k, k)
     carry = synth._init(variables, memory, 8)
     _, next_tail, wav_win, _, _ = synth._pipeline(
         variables, memory, carry, jnp.zeros((1, 8, 0), memory.dtype),
-        k_dec, k)
+        k_dec, k, lens)
     assert next_tail.shape == (1, 8, 0)
     assert wav_win.shape == (1, 4 * hp.hop_length)
     # And the stream emits constant-width chunks that tile the cap.
