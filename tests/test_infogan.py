@@ -22,20 +22,24 @@ from gantron_tpu.train.step import make_train_steps
 from test_train_step import synth_batch, tiny_hp
 
 
-def _setup(**over):
-    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
-                 **over)
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def setup():
+    """ONE shared model/state/compiled-G-step for the whole module: the
+    rollout G step's forward+backward scan is the expensive compile here."""
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0)
     batch = synth_batch(hp, B=4, T_in=10, T_out=24)
     state, gen, disc, g_tx, d_tx = create_train_state(
         hp, jax.random.PRNGKey(0), tuple(batch))
-    return hp, batch, state, gen, disc, g_tx, d_tx
-
-
-def test_style_encoder_params_created_and_trained():
-    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
-    assert "style_encoder" in state.g_params
     g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
-    g_step = jax.jit(g_step)
+    return hp, batch, state, gen, disc, g_tx, d_tx, jax.jit(g_step)
+
+
+def test_style_encoder_params_created_and_trained(setup):
+    hp, batch, state, gen, disc, g_tx, d_tx, g_step = setup
+    assert "style_encoder" in state.g_params
 
     new_state, metrics, (fake_mel, fake_lengths) = g_step(
         state, batch, jnp.float32(1e-3), jnp.float32(10.0))
@@ -51,20 +55,18 @@ def test_style_encoder_params_created_and_trained():
     assert fake_mel.shape == batch.mels.shape
 
 
-def test_recon_loss_changes_g_gradient():
+def test_recon_loss_changes_g_gradient(setup):
     """The reconstruction term must reach the GENERATOR weights through the
     rollout scan, not just the Q head. Comparing weight=5 against a
     vanishing weight=1e-9 (NOT weight=0, which would switch the rollout to
     the in-model noise rng draw and change the decode for an unrelated
     reason) isolates exactly the identification gradient."""
-    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
-    g_on, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    hp, batch, state, gen, disc, g_tx, d_tx, g_on = setup
     hp_eps = tiny_hp(adversarial_rollouts=True,
                      style_reconstruction_weight=1e-9)
     g_eps, _, _ = make_train_steps(hp_eps, gen, disc, g_tx, d_tx)
 
-    s_on, _, _ = jax.jit(g_on)(state, batch, jnp.float32(1e-3),
-                               jnp.float32(0.0))
+    s_on, _, _ = g_on(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
     s_eps, _, _ = jax.jit(g_eps)(state, batch, jnp.float32(1e-3),
                                  jnp.float32(0.0))
     d_on = np.asarray(s_on.g_params["decoder"]["proj_w"])
@@ -72,11 +74,11 @@ def test_recon_loss_changes_g_gradient():
     assert np.abs(d_on - d_eps).max() > 0
 
 
-def test_checkpoint_roundtrip_with_style_encoder(tmp_path):
+def test_checkpoint_roundtrip_with_style_encoder(tmp_path, setup):
     from gantron_tpu.train.checkpoint import CheckpointManager
     from gantron_tpu.utils.loading import load_generator
 
-    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    hp, batch, state, gen, disc, g_tx, d_tx, _ = setup
     mgr = CheckpointManager(str(tmp_path))
     path = mgr.save(state, 1, 1.0)
     model, variables = load_generator(path, hp)
@@ -90,10 +92,10 @@ def test_checkpoint_roundtrip_with_style_encoder(tmp_path):
         np.asarray(state.g_params["style_encoder"]["out"]["kernel"]))
 
 
-def test_predict_style_masks_padding():
+def test_predict_style_masks_padding(setup):
     """The pooled statistic must ignore frames past each sample's length:
     changing pad-region content must not change the prediction."""
-    hp, batch, state, gen, disc, g_tx, d_tx = _setup()
+    hp, batch, state, gen, disc, g_tx, d_tx, _ = setup
     mels = np.asarray(batch.mels).copy()
     lengths = np.full((mels.shape[0],), 16, np.int32)
     mels2 = mels.copy()
@@ -112,16 +114,16 @@ def test_predict_style_masks_padding():
 
 
 def test_requires_rollouts_and_noise():
+    # make_train_steps validates the config before any compile, so no state
+    # is needed (and none should be built — the guard exists to fail fast).
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    hp = tiny_hp(style_reconstruction_weight=1.0)
     with pytest.raises(ValueError, match="adversarial_rollouts"):
-        hp = tiny_hp(style_reconstruction_weight=1.0)
-        batch = synth_batch(hp, B=2, T_in=8, T_out=24)
-        state, gen, disc, g_tx, d_tx = create_train_state(
-            hp, jax.random.PRNGKey(0), tuple(batch))
-        make_train_steps(hp, gen, disc, g_tx, d_tx)
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
+    hp = tiny_hp(style_reconstruction_weight=1.0,
+                 adversarial_rollouts=True, use_noise=False)
     with pytest.raises(ValueError, match="noise"):
-        hp = tiny_hp(style_reconstruction_weight=1.0,
-                     adversarial_rollouts=True, use_noise=False)
-        batch = synth_batch(hp, B=2, T_in=8, T_out=24)
-        state, gen, disc, g_tx, d_tx = create_train_state(
-            hp, jax.random.PRNGKey(0), tuple(batch))
-        make_train_steps(hp, gen, disc, g_tx, d_tx)
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
