@@ -127,6 +127,7 @@ def main():
     result = {
         "variant": args.variant,
         "hparams": dict(VARIANTS[args.variant]),
+        "hparams_override": args.hparams,
         "iterations": iteration,
         "train_seconds": train_seconds,
         "final_validation": final_val,

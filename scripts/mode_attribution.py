@@ -56,6 +56,10 @@ def main():
     parser.add_argument("--n_styles", type=int, default=16)
     parser.add_argument("--n_dropout", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--hparams", type=str, default=None,
+                        help="must repeat any --hparams the training run "
+                             "used (e.g. n_frames_per_step=2): the "
+                             "checkpoint template is built from this config")
     parser.add_argument("--cpu", action="store_true",
                         help="pin the CPU backend (the axon site hook "
                              "re-sets JAX_PLATFORMS)")
@@ -80,6 +84,8 @@ def main():
     hp.add_params(small_model_params(args.iterations))
     hp.add_params(dict(use_noise=True, noise_size=32, use_labels=False))
     hp.add_params(VARIANTS[args.variant])
+    if args.hparams:
+        hp.add_params_string(args.hparams)
 
     with open(os.path.join(args.run_dir, "mode_study.json")) as f:
         study = json.load(f)
@@ -140,6 +146,7 @@ def main():
     result = {
         "run_dir": args.run_dir,
         "variant": args.variant,
+        "hparams_override": args.hparams,
         "checkpoint": os.path.basename(ckpt_path),
         "n_styles": N,
         "n_dropout": M,
