@@ -63,7 +63,21 @@ def main():
     parser.add_argument("--cpu", action="store_true",
                         help="pin the CPU backend (the axon site hook "
                              "re-sets JAX_PLATFORMS)")
+    parser.add_argument("--probe", action="store_true",
+                        help="mid-run probe of a LIVE training run: score "
+                             "the newest periodic checkpoint and write "
+                             "mode_attribution_probe_<iter>.json instead of "
+                             "the final artifact (safe alongside training; "
+                             "anchors are recomputed from the corpus when "
+                             "mode_study.json does not exist yet)")
+    parser.add_argument("--n_utts", type=int, default=200,
+                        help="corpus size for the anchor recomputation "
+                             "fallback (must match the training run)")
     args = parser.parse_args()
+
+    from gantron_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
 
@@ -87,9 +101,33 @@ def main():
     if args.hparams:
         hp.add_params_string(args.hparams)
 
-    with open(os.path.join(args.run_dir, "mode_study.json")) as f:
-        study = json.load(f)
-    anchors = study["real_anchors"]
+    study_json = os.path.join(args.run_dir, "mode_study.json")
+    if os.path.exists(study_json):
+        with open(study_json) as f:
+            study = json.load(f)
+        anchors = study["real_anchors"]
+    else:
+        # Mid-run probe before gan_mode_study has written its artifact:
+        # recompute the real-mode anchors from the (deterministic, seeded)
+        # corpus via the same cached mel extraction the run trains on.
+        from gantron_tpu.data.dataset import TextMelDataset
+        from gantron_tpu.data.toy import build_bimodal_corpus
+        from gantron_tpu.eval.mode_study import mode_anchor_levels
+
+        corpus_root = os.path.join(
+            os.path.dirname(os.path.abspath(args.run_dir)),
+            f"corpus{args.seed}" if args.seed else "corpus")
+        wav_dir, train_list, _, modes = build_bimodal_corpus(
+            corpus_root, n_utts=args.n_utts, seed=args.seed)
+        ds = TextMelDataset([train_list], hp, wav_dir)
+        chans = hiband_channels(hp)
+        levels_by_mode = {0: [], 1: []}
+        with open(train_list) as f:
+            names = [line.split("|")[0] for line in f if line.strip()]
+        for name in names:
+            mel = ds.get_mel(os.path.join(wav_dir, name))
+            levels_by_mode[modes[name]].append(hiband_level(mel, chans))
+        anchors = mode_anchor_levels(levels_by_mode)
     midpoint = anchors["midpoint"]
 
     ckpt_path = CheckpointManager(args.run_dir).latest()
@@ -164,7 +202,12 @@ def main():
         "anchors": anchors,
         "device": str(jax.devices()[0]),
     }
-    out_path = os.path.join(args.run_dir, "mode_attribution.json")
+    name = "mode_attribution.json"
+    if args.probe:
+        it = os.path.basename(ckpt_path).split("iter=")[1].split("_")[0]
+        result["probe_iteration"] = int(it)
+        name = f"mode_attribution_probe_{it}.json"
+    out_path = os.path.join(args.run_dir, name)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items()
