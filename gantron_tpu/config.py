@@ -230,6 +230,28 @@ class HParams:
     # identify it either); maximizing latent->output mutual information does.
     # 0 disables (parity). Requires use_noise and adversarial_rollouts.
     style_reconstruction_weight: float = 0.0
+    # Diversity-sensitive regularizer (Yang et al., ICLR 2019: "Diversity-
+    # Sensitive Conditional GANs"): each G step decodes the rollout TWICE
+    # with two independent style draws under a SHARED dropout key, and the
+    # generator is rewarded for output distance per unit style distance,
+    # -mean(min(|mel1-mel2|_1 / |z1-z2|_1, diversity_tau)). Why it exists:
+    # the Q head alone sits at a cold-start saddle — when the generator is
+    # style-invariant (which teacher-forced MSE actively encourages, the
+    # style being pure noise w.r.t. the forced target), the Q head is flat
+    # and passes ZERO gradient back, so identification never starts
+    # (measured: a 3000-iter style_reconstruction_weight=10 run whose recon
+    # loss sat at the uniform prior's 1/12 floor throughout —
+    # docs/TRAINING_EVIDENCE.md round 4). This term's gradient is nonzero
+    # exactly at that style-invariant point: it directly pushes
+    # d(mel)/d(style) != 0, the Q head then organizes WHAT the style
+    # carries, and D keeps the varied outputs on the data manifold.
+    # 0 disables (parity). Requires use_noise and adversarial_rollouts.
+    diversity_weight: float = 0.0
+    # Clamp on the per-sample distance ratio above (DSGAN's tau): bounds the
+    # incentive so diversity cannot grow unboundedly at the data term's
+    # expense. Units: mean-|log-mel| distance per mean-|uniform| style
+    # distance; cross-mode pairs on the round-4 study corpus sit at ~3.
+    diversity_tau: float = 10.0
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -135,7 +135,21 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         raise ValueError(
             "style_reconstruction_weight > 0 requires use_noise=True with "
             "noise_size > 0 (there is no latent to identify)")
-    roll_decode = rollouts or style_recon
+    div_w = float(getattr(hp, "diversity_weight", 0.0))
+    div_tau = float(getattr(hp, "diversity_tau", 10.0))
+    diversity = div_w > 0
+    if diversity and not roll_flag:
+        raise ValueError(
+            "diversity_weight > 0 requires adversarial_rollouts=True: the "
+            "regularizer compares two FREE-RUNNING decodes of the same "
+            "batch under a shared dropout key (a teacher-forced decode is "
+            "pinned to the forced history, so there is nothing to diversify)")
+    if diversity and generator.noise_size == 0:
+        raise ValueError(
+            "diversity_weight > 0 requires use_noise=True with "
+            "noise_size > 0 (there is no latent to diversify over)")
+    roll_decode = rollouts or style_recon or diversity
+    inject_style = style_recon or diversity
     if roll_decode and getattr(hp, "quantized_inference", False):
         # The int8 scan weights round-trip through quantize_per_channel whose
         # round() has zero gradient — rollout training would silently stop
@@ -202,6 +216,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             fake_pair = (out[1], batch.output_lengths)
             roll_adv = jnp.zeros(())
             recon_loss = jnp.zeros(())
+            div_loss = jnp.zeros(())
+            div_ratio = jnp.zeros(())
             if roll_decode:
                 # Free-running decode of the SAME batch: fresh noise, no
                 # teacher forcing, pad-masked attention. Differentiable end
@@ -210,12 +226,13 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 # samples reaches every generator weight.
                 K = getattr(hp, "n_frames_per_step", 1)
                 style = None
-                if style_recon:
+                if inject_style:
                     # The latent must be a live tensor here: the InfoGAN Q
-                    # head reconstructs it from the rollout mel below.
-                    # Injecting it explicitly (instead of the in-model
-                    # "noise" rng draw) keeps the rollout distribution
-                    # identical — same uniform prior, same shape.
+                    # head reconstructs it (and the diversity term contrasts
+                    # over it) below. Injecting it explicitly (instead of
+                    # the in-model "noise" rng draw) keeps the rollout
+                    # distribution identical — same uniform prior, same
+                    # shape.
                     style = jax.random.uniform(
                         jax.random.fold_in(k_roll_noise, 1),
                         (batch.text.shape[0], 1, generator.noise_size))
@@ -250,8 +267,37 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         method=generator.predict_style)
                     recon_loss = jnp.mean(
                         (pred.astype(jnp.float32) - style[:, 0, :]) ** 2)
+                if diversity:
+                    # Second rollout: fresh style, SAME dropout key — the
+                    # per-step dropout masks are derived deterministically
+                    # from the passed rng, so the two decodes differ only by
+                    # the latent. Per-sample output-distance per unit
+                    # style-distance, clamped at tau, rewarded. Full padded
+                    # frame grid: every frame up to the scan bound is a real
+                    # decoder output (the training rollout is the fixed-
+                    # length differentiable scan, not the early-exit loop),
+                    # so no length mask is needed and the term stays exact
+                    # under jit.
+                    style2 = jax.random.uniform(
+                        jax.random.fold_in(k_roll_noise, 2),
+                        style.shape)
+                    roll2 = generator.apply(
+                        {"params": _cast_in(g_params),
+                         "batch_stats": state.g_batch_stats},
+                        batch.text, style2, batch.emotions, batch.speaker,
+                        batch.mels.shape[2] // K,
+                        method=generator.infer,
+                        text_lengths=batch.text_lengths,
+                        rngs={"dropout": k_roll, "noise": k_roll_noise})
+                    d_out = jnp.mean(
+                        jnp.abs(roll_mel - roll2[1].astype(jnp.float32)),
+                        axis=(1, 2))
+                    d_z = jnp.mean(jnp.abs(style - style2), axis=(1, 2))
+                    div_ratio = jnp.mean(jnp.minimum(
+                        d_out / jnp.maximum(d_z, 1e-6), div_tau))
+                    div_loss = -div_ratio
             total = (taco + adv + roll_adv + style_recon_w * recon_loss
-                     + attn_weight * attn_l)
+                     + div_w * div_loss + attn_weight * attn_l)
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,
@@ -262,6 +308,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 aux["rollout_adversarial_loss"] = roll_adv
             if style_recon:
                 aux["style_reconstruction_loss"] = recon_loss
+            if diversity:
+                aux["style_diversity_ratio"] = div_ratio
             return total, aux
 
         if deferred_dw:

@@ -39,6 +39,15 @@ VARIANTS = {
     # carrier, which adversarial pressure alone never does (round-3 study).
     "infogan": {"adversarial_rollouts": True,
                 "style_reconstruction_weight": 10.0},
+    # Q head + diversity-sensitive regularizer (config.py diversity_weight):
+    # the Q head alone sits at a cold-start saddle (measured: its recon loss
+    # never left the uniform prior's 1/12 floor over 3000 iters — the flat Q
+    # passes zero gradient to a style-invariant G); the DS term's gradient
+    # is nonzero exactly there, pushing d(mel)/d(style) != 0 for Q to
+    # organize.
+    "infogan_ds": {"adversarial_rollouts": True,
+                   "style_reconstruction_weight": 10.0,
+                   "diversity_weight": 1.0},
 }
 
 STUDY_TEXT = "aeioumnst"

@@ -49,7 +49,8 @@ def main():
     # overrides only touch the training schedule), but recording the true
     # variant keeps the artifact's provenance straight.
     parser.add_argument("--variant", default="gan",
-                        choices=("gan", "nogan", "rollout", "infogan"))
+                        choices=("gan", "nogan", "rollout", "infogan",
+                                 "infogan_ds"))
     parser.add_argument("--iterations", type=int, default=3000,
                         help="must match the training run (schedule-derived "
                              "hparams feed the model config)")
