@@ -249,9 +249,23 @@ class HParams:
     diversity_weight: float = 0.0
     # Clamp on the per-sample distance ratio above (DSGAN's tau): bounds the
     # incentive so diversity cannot grow unboundedly at the data term's
-    # expense. Units: mean-|log-mel| distance per mean-|uniform| style
-    # distance; cross-mode pairs on the round-4 study corpus sit at ~3.
+    # expense. Set it AT the natural cross-mode output distance (not above):
+    # the reward then saturates exactly when the code flips real modes, and
+    # extra never-seen spread earns nothing (measured: tau=10 / weight=1 on
+    # the round-4 study corpus let raw-L1 diversity swamp fidelity — val mel
+    # 1.77 vs 0.20 — while identification still never started). Units:
+    # mean-|log-mel| distance per mean-|uniform| style distance; cross-mode
+    # pairs on that corpus sit at ~3.
     diversity_tau: float = 10.0
+    # InfoGAN code/nuisance split of the injected style vector: the Q head
+    # reconstructs (and the diversity term redraws) only the FIRST
+    # style_code_dims dims; the rest stay nuisance noise. Classic InfoGAN
+    # structure — identification pressure over all noise_size=512 dims is
+    # ~1 bit spread over the whole vector (invisible next to the data
+    # terms), over a 2-4 dim code it is material. 0 = no split (the whole
+    # vector is the code). Serving controls generation by sweeping the code
+    # dims of the style passed to infer/Synthesizer.
+    style_code_dims: int = 0
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -616,6 +616,14 @@ class Tacotron2(nn.Module):
                 and self.noise_size > 0)
 
     @property
+    def style_code_dims(self) -> int:
+        """Identifiable-code width: the first style_code_dims dims of the
+        style vector are the InfoGAN code the Q head reconstructs; 0 means
+        the whole vector is the code (config.py style_code_dims)."""
+        return (int(getattr(self.hp, "style_code_dims", 0))
+                or self.noise_size)
+
+    @property
     def memory_dim(self) -> int:
         """Decoder-side memory width after all concats
         (reference model.py:240-246)."""
@@ -651,7 +659,7 @@ class Tacotron2(nn.Module):
         self.decoder = Decoder(hp, self.memory_dim, name="decoder")
         self.postnet = Postnet(hp, name="postnet")
         if self.style_reconstruction:
-            self.style_encoder = StyleEncoder(hp, self.noise_size,
+            self.style_encoder = StyleEncoder(hp, self.style_code_dims,
                                               name="style_encoder")
 
     # -- conditioning plumbing ----------------------------------------------
@@ -747,8 +755,10 @@ class Tacotron2(nn.Module):
 
     def predict_style(self, mel_bmt, lengths):
         """InfoGAN Q head: free-running mel (B, n_mel, T) + valid frame
-        lengths (B,) -> predicted style vector (B, noise_size) in (0, 1).
-        Only available with ``hp.style_reconstruction_weight > 0``."""
+        lengths (B,) -> predicted style CODE (B, style_code_dims) in (0, 1)
+        — the first style_code_dims dims of the injected style vector
+        (the whole vector when hp.style_code_dims == 0). Only available
+        with ``hp.style_reconstruction_weight > 0``."""
         return self.style_encoder(mel_bmt, lengths)
 
     def init_full(self, text, text_lengths, mels, speaker_ids, emotions,

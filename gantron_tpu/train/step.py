@@ -148,6 +148,13 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         raise ValueError(
             "diversity_weight > 0 requires use_noise=True with "
             "noise_size > 0 (there is no latent to diversify over)")
+    code_dims = int(getattr(hp, "style_code_dims", 0))
+    if code_dims > generator.noise_size:
+        raise ValueError(
+            f"style_code_dims={code_dims} exceeds noise_size="
+            f"{generator.noise_size}: the code is a PREFIX of the style "
+            "vector (config.py style_code_dims)")
+    code_dims = code_dims or generator.noise_size
     roll_decode = rollouts or style_recon or diversity
     inject_style = style_recon or diversity
     if roll_decode and getattr(hp, "quantized_inference", False):
@@ -266,21 +273,25 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         roll[1], roll_lengths,
                         method=generator.predict_style)
                     recon_loss = jnp.mean(
-                        (pred.astype(jnp.float32) - style[:, 0, :]) ** 2)
+                        (pred.astype(jnp.float32)
+                         - style[:, 0, :code_dims]) ** 2)
                 if diversity:
-                    # Second rollout: fresh style, SAME dropout key — the
-                    # per-step dropout masks are derived deterministically
-                    # from the passed rng, so the two decodes differ only by
-                    # the latent. Per-sample output-distance per unit
-                    # style-distance, clamped at tau, rewarded. Full padded
-                    # frame grid: every frame up to the scan bound is a real
-                    # decoder output (the training rollout is the fixed-
-                    # length differentiable scan, not the early-exit loop),
-                    # so no length mask is needed and the term stays exact
-                    # under jit.
-                    style2 = jax.random.uniform(
+                    # Second rollout: redraw ONLY the code dims (nuisance
+                    # dims and the dropout key shared — per-step dropout
+                    # masks derive deterministically from the passed rng),
+                    # so the two decodes differ exactly by the code.
+                    # Per-sample output-distance per unit code-distance,
+                    # clamped at tau, rewarded. Full padded frame grid:
+                    # every frame up to the scan bound is a real decoder
+                    # output (the training rollout is the fixed-length
+                    # differentiable scan, not the early-exit loop), so no
+                    # length mask is needed and the term stays exact under
+                    # jit.
+                    redraw = jax.random.uniform(
                         jax.random.fold_in(k_roll_noise, 2),
-                        style.shape)
+                        (style.shape[0], style.shape[1], code_dims))
+                    style2 = jnp.concatenate(
+                        [redraw, style[:, :, code_dims:]], axis=-1)
                     roll2 = generator.apply(
                         {"params": _cast_in(g_params),
                          "batch_stats": state.g_batch_stats},
@@ -292,7 +303,9 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     d_out = jnp.mean(
                         jnp.abs(roll_mel - roll2[1].astype(jnp.float32)),
                         axis=(1, 2))
-                    d_z = jnp.mean(jnp.abs(style - style2), axis=(1, 2))
+                    d_z = jnp.mean(
+                        jnp.abs(style[:, :, :code_dims] - redraw),
+                        axis=(1, 2))
                     div_ratio = jnp.mean(jnp.minimum(
                         d_out / jnp.maximum(d_z, 1e-6), div_tau))
                     div_loss = -div_ratio

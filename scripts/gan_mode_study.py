@@ -48,6 +48,18 @@ VARIANTS = {
     "infogan_ds": {"adversarial_rollouts": True,
                    "style_reconstruction_weight": 10.0,
                    "diversity_weight": 1.0},
+    # The measured fix for BOTH failures above (docs/TRAINING_EVIDENCE.md
+    # round 4): a 2-dim InfoGAN code (identification pressure concentrated,
+    # not diluted over 32 dims), diversity contrasting ONLY code redraws
+    # (nuisance + dropout shared), and tau AT the cross-mode distance so
+    # diversity reward saturates exactly when the code flips real modes —
+    # infogan_ds's unclamped raw-L1 spread (tau 10, weight 1) swamped
+    # fidelity without identifying.
+    "infogan_code": {"adversarial_rollouts": True,
+                     "style_reconstruction_weight": 10.0,
+                     "diversity_weight": 0.5,
+                     "diversity_tau": 3.0,
+                     "style_code_dims": 2},
 }
 
 STUDY_TEXT = "aeioumnst"

@@ -50,7 +50,7 @@ def main():
     # variant keeps the artifact's provenance straight.
     parser.add_argument("--variant", default="gan",
                         choices=("gan", "nogan", "rollout", "infogan",
-                                 "infogan_ds"))
+                                 "infogan_ds", "infogan_code"))
     parser.add_argument("--iterations", type=int, default=3000,
                         help="must match the training run (schedule-derived "
                              "hparams feed the model config)")

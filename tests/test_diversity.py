@@ -76,6 +76,34 @@ def test_diversity_changes_g_gradient(setup):
     assert np.abs(d_on - d_eps).max() > 0
 
 
+def test_style_code_dims_q_head_width():
+    """With a code/nuisance split the Q head reconstructs ONLY the code:
+    predict_style must return (B, style_code_dims), and the guard must
+    reject a code wider than the latent."""
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 diversity_weight=0.5, style_code_dims=2)
+    batch = synth_batch(hp, B=2, T_in=8, T_out=16)
+    gen = Tacotron2(hp)
+    variables = gen.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "noise": jax.random.PRNGKey(2)},
+        batch.text, batch.text_lengths, batch.mels, batch.speaker,
+        batch.emotions, batch.output_lengths, method=gen.init_full)
+    pred = gen.apply({"params": variables["params"]},
+                     batch.mels, batch.output_lengths,
+                     method=gen.predict_style)
+    assert pred.shape == (2, 2)
+
+    hp_bad = tiny_hp(adversarial_rollouts=True,
+                     style_reconstruction_weight=5.0,
+                     style_code_dims=10_000)
+    with pytest.raises(ValueError, match="style_code_dims"):
+        make_train_steps(hp_bad, Tacotron2(hp_bad),
+                         make_discriminator(hp_bad), None, None)
+
+
 def test_requires_rollouts_and_noise():
     from gantron_tpu.models import Tacotron2, make_discriminator
 
