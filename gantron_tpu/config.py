@@ -257,6 +257,22 @@ class HParams:
     # mean-|log-mel| distance per mean-|uniform| style distance; cross-mode
     # pairs on that corpus sit at ~3.
     diversity_tau: float = 10.0
+    # Saturating OUTPUT-UNIT form of the diversity reward (> 0 replaces the
+    # ratio form above): mean(min(|mel1-mel2|_1, diversity_cap))/diversity_cap
+    # — in [0, 1], gradient identically zero once the two decodes differ by
+    # the cap, in mel-L1 units, regardless of how far apart the two code
+    # draws were. Why the ratio form is not enough: its clamp is per unit
+    # CODE distance, so for large code redraws the reward keeps growing
+    # until d_out = tau * d_z — far past a mode flip — and the generator
+    # "watermarks": it shifts rollouts off-manifold where code-dependent
+    # swings are unconstrained by data (measured on 2 chip seeds, tau=3
+    # w=0.5: every sample off-manifold, frac_near_mode 0.0, val mel 0.87 /
+    # 0.56 vs ~0.25 baseline — docs/TRAINING_EVIDENCE.md round 4). Set the
+    # cap BETWEEN the within-mode jitter distance and the cross-mode flip
+    # distance (measured on the bimodal study corpus: 0.28 vs 1.05, same
+    # text): a flip then earns the full reward and anything beyond earns
+    # nothing, so the cheapest saturating solution is flipping real modes.
+    diversity_cap: float = 0.0
     # InfoGAN code/nuisance split of the injected style vector: the Q head
     # reconstructs (and the diversity term redraws) only the FIRST
     # style_code_dims dims; the rest stay nuisance noise. Classic InfoGAN

@@ -137,6 +137,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             "noise_size > 0 (there is no latent to identify)")
     div_w = float(getattr(hp, "diversity_weight", 0.0))
     div_tau = float(getattr(hp, "diversity_tau", 10.0))
+    div_cap = float(getattr(hp, "diversity_cap", 0.0))
     diversity = div_w > 0
     if diversity and not roll_flag:
         raise ValueError(
@@ -303,11 +304,20 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     d_out = jnp.mean(
                         jnp.abs(roll_mel - roll2[1].astype(jnp.float32)),
                         axis=(1, 2))
-                    d_z = jnp.mean(
-                        jnp.abs(style[:, :, :code_dims] - redraw),
-                        axis=(1, 2))
-                    div_ratio = jnp.mean(jnp.minimum(
-                        d_out / jnp.maximum(d_z, 1e-6), div_tau))
+                    if div_cap > 0:
+                        # Output-unit saturation (config.py diversity_cap):
+                        # reward in [0, 1], zero gradient past the cap —
+                        # the ratio form below measurably "watermarks"
+                        # (off-manifold spread pays until d_out = tau*d_z,
+                        # far beyond a mode flip for large code redraws).
+                        div_ratio = jnp.mean(
+                            jnp.minimum(d_out, div_cap)) / div_cap
+                    else:
+                        d_z = jnp.mean(
+                            jnp.abs(style[:, :, :code_dims] - redraw),
+                            axis=(1, 2))
+                        div_ratio = jnp.mean(jnp.minimum(
+                            d_out / jnp.maximum(d_z, 1e-6), div_tau))
                     div_loss = -div_ratio
             total = (taco + adv + roll_adv + style_recon_w * recon_loss
                      + div_w * div_loss + attn_weight * attn_l)

@@ -48,18 +48,31 @@ VARIANTS = {
     "infogan_ds": {"adversarial_rollouts": True,
                    "style_reconstruction_weight": 10.0,
                    "diversity_weight": 1.0},
-    # The measured fix for BOTH failures above (docs/TRAINING_EVIDENCE.md
-    # round 4): a 2-dim InfoGAN code (identification pressure concentrated,
-    # not diluted over 32 dims), diversity contrasting ONLY code redraws
-    # (nuisance + dropout shared), and tau AT the cross-mode distance so
-    # diversity reward saturates exactly when the code flips real modes —
-    # infogan_ds's unclamped raw-L1 spread (tau 10, weight 1) swamped
-    # fidelity without identifying.
+    # 2-dim InfoGAN code + RATIO-clamped diversity (tau=3). MEASURED FAILURE
+    # (2 chip seeds, round 4): the ratio clamp is per unit CODE distance, so
+    # large code redraws keep paying until d_out = tau*d_z — far past a mode
+    # flip — and G "watermarks" (all 80 samples off-manifold, frac_near_mode
+    # 0.0, val mel 0.87/0.56 vs ~0.25 baseline). Kept as the measured
+    # ablation arm for infogan_sat below.
     "infogan_code": {"adversarial_rollouts": True,
                      "style_reconstruction_weight": 10.0,
                      "diversity_weight": 0.5,
                      "diversity_tau": 3.0,
                      "style_code_dims": 2},
+    # The designed fix for ALL three failures above: 2-dim code (pressure
+    # concentrated, not diluted over 32 dims — vs infogan's saddle),
+    # diversity contrasting ONLY code redraws (nuisance + dropout shared),
+    # and the reward saturating in OUTPUT units (config.py diversity_cap):
+    # min(d_out, 0.9)/0.9 — the cap sits between the corpus's measured
+    # within-mode jitter (0.28 mel-L1, same text, fresh noise) and its
+    # cross-mode flip distance (1.05), so a real mode flip earns the full
+    # reward and off-manifold spread past it earns NOTHING (vs infogan_ds /
+    # infogan_code, where unsaturated spread swamped fidelity).
+    "infogan_sat": {"adversarial_rollouts": True,
+                    "style_reconstruction_weight": 10.0,
+                    "diversity_weight": 1.0,
+                    "diversity_cap": 0.9,
+                    "style_code_dims": 2},
 }
 
 STUDY_TEXT = "aeioumnst"

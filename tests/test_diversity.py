@@ -76,6 +76,38 @@ def test_diversity_changes_g_gradient(setup):
     assert np.abs(d_on - d_eps).max() > 0
 
 
+def test_diversity_cap_saturates(setup):
+    """Output-unit form (hp.diversity_cap > 0): the reward is
+    mean(min(d_out, cap))/cap in [0, 1], and its gradient is identically
+    zero once the two decodes differ by the cap. The ratio form measurably
+    fails this (it keeps paying until d_out = tau*d_z, far past a mode flip
+    for large code redraws — the round-4 'watermarking' collapse, 2 chip
+    seeds). Pinned via the step itself: a vanishing cap saturates
+    immediately (ratio == 1, zero diversity gradient, so the update matches
+    the vanishing-WEIGHT arm), while a huge cap leaves the gradient live."""
+    hp, batch, state, gen, disc, g_tx, d_tx, _ = setup
+
+    def run(**kw):
+        hp_v = tiny_hp(adversarial_rollouts=True,
+                       style_reconstruction_weight=5.0, **kw)
+        g, _, _ = make_train_steps(hp_v, gen, disc, g_tx, d_tx)
+        s, m, _ = jax.jit(g)(state, batch, jnp.float32(1e-3),
+                             jnp.float32(0.0))
+        return np.asarray(s.g_params["decoder"]["proj_w"]), m
+
+    p_sat, m_sat = run(diversity_weight=1.0, diversity_cap=1e-6)
+    p_eps, _ = run(diversity_weight=1e-12, diversity_cap=1e-6)
+    p_live, m_live = run(diversity_weight=1.0, diversity_cap=100.0)
+    # Saturated: reward pinned at 1, no gradient -> identical update to the
+    # vanishing-weight arm (same second-rollout graph, so this isolates
+    # exactly the diversity gradient).
+    assert float(m_sat["style_diversity_ratio"]) == 1.0
+    np.testing.assert_allclose(p_sat, p_eps, atol=1e-7)
+    # Below the cap: reward in (0, 1), gradient live.
+    assert 0 < float(m_live["style_diversity_ratio"]) < 1.0
+    assert np.abs(p_live - p_sat).max() > 0
+
+
 def test_style_code_dims_q_head_width():
     """With a code/nuisance split the Q head reconstructs ONLY the code:
     predict_style must return (B, style_code_dims), and the guard must
