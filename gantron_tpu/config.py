@@ -127,24 +127,22 @@ class HParams:
     encoder_n_convolutions: int = 3
     encoder_embedding_dim: int = 512
 
-    # Decoder frames emitted per step. The reference declares this but only
-    # supports 1 (hparams.py:71); here K in {1, 2, 4, ...} is fully supported
-    # end to end (decoder regroups K frames per scan step, collate pads T_out
-    # to a multiple, losses/attention-guide are K-aware). K=2 measures ~1.7x
-    # and K=4 ~2.7x training throughput for a mild quality trade
-    # (docs/PERFORMANCE.md, docs/TRAINING_EVIDENCE.md).
     # K mel frames per decoder recurrence step — Kx fewer sequential scan
     # steps, the dominant training/decode cost on TPU. The reference declares
-    # this knob but only supports 1 (hparams.py:71). RECOMMENDED PRODUCTION
-    # SETTING: 2 — measured 1.72x training throughput and RTF 0.0084 (vs
-    # 0.0114) with NO quality loss on the evidence corpus (study accuracy
-    # 0.90, generation error rate 0.00, docs/TRAINING_EVIDENCE.md "K
-    # frontier"). The DEFAULT stays 1 because (a) the config surface
-    # field-for-field matches the reference's defaults by design (its
-    # checkpoints/recipes assume K=1), and (b) the round-4 plan to re-confirm
-    # K=2 end-to-end on the richest corpus was budgeted out by the TPU
-    # outage (single-core CPU went to the latent-identification study);
-    # flip deliberately per deployment, not silently for every user.
+    # this knob but only supports 1 (hparams.py:71); here K in {1, 2, 4, ...}
+    # works end to end (decoder regroups K frames per scan step, collate pads
+    # T_out to a multiple, losses/attention-guide are K-aware). Measured
+    # decision (round 4, full evidence pipeline head-to-head —
+    # docs/TRAINING_EVIDENCE.md "K=2 decision evidence"): the DEFAULT stays 1
+    # for training; K=2 is the documented SERVING-LATENCY option (decode RTF
+    # 0.0084 vs 0.0114, 1.72x fewer scan steps). Controllability is
+    # K-invariant (study acc 0.90, GER 0.00, kmeans 1.00 at both), but K=2
+    # trades attention quality at equal iterations (monotonicity 0.876 vs
+    # 0.999, val mel +11%) and its throughput case does not hold on
+    # short-utterance shapes where the scan no longer dominates. Flip
+    # per-deployment behind the evidence pipeline's quality gate, not
+    # silently for every user (the reference's checkpoints/recipes also
+    # assume K=1).
     n_frames_per_step: int = 1
     decoder_rnn_dim: int = 1024
     prenet_dim: int = 256
@@ -282,6 +280,38 @@ class HParams:
     # vector is the code). Serving controls generation by sweeping the code
     # dims of the style passed to infer/Synthesizer.
     style_code_dims: int = 0
+    # Discretize the code: draw each code dim from {(k+0.5)/L for k<L}
+    # instead of continuous U[0,1) (L = style_code_levels; 0 = continuous).
+    # Classic InfoGAN uses CATEGORICAL codes for discrete generative factors,
+    # and the round-4 measurements show why that matters: with a continuous
+    # code, the Q head's MSE can only beat the uniform prior's floor if the
+    # mel carries CONTINUOUS code information — but a corpus whose latent
+    # factor is binary (which mode) has only a 1-bit on-manifold channel, so
+    # continuous identification pressure structurally demands an off-manifold
+    # continuous carrier: the measured "watermark" (all samples pushed past
+    # the hi mode; infogan_code 2/2 seeds, infogan_sat 2/3, infogan_warm —
+    # docs/TRAINING_EVIDENCE.md round 4). A 2-level code is exactly
+    # satisfiable by flipping real modes: recon MSE -> 0 with zero residual
+    # pressure off the manifold. The Q head is unchanged (sigmoid output,
+    # MSE against the grid values); the diversity redraw flips to a
+    # DIFFERENT level (never the same one, so every pair carries contrast).
+    # At inference the code enters the network as a raw float like any
+    # style value; decodes commit to the nearest trained level's basin.
+    style_code_levels: int = 0
+    # Identification warm-up: hold the InfoGAN terms (style_reconstruction_
+    # weight AND diversity_weight) at ZERO for this many iterations, then
+    # switch them on at full strength. Why: switching identification on at
+    # init races D — the Q/diversity pressure finds its cheapest carrier
+    # before D has anchored the data manifold, and on 2 of 3 chip seeds that
+    # carrier was an off-manifold "watermark" even with the saturating cap
+    # (round-4 infogan_sat: seed 0 identified on-manifold, chi2 p<1e-6;
+    # seeds 1-2 drifted, frac_near_mode 0.4/0.0 — docs/TRAINING_EVIDENCE.md).
+    # A pure-rollout warm start is measured stable (3/3 seeds frac_near_mode
+    # 1.0), so identification then starts from a generator that already
+    # samples real modes and D already rejects off-manifold output. The
+    # schedule is host-side (a traced 0/1 scale, like attn_steps): no
+    # recompile at the boundary. 0 disables (identification on from step 0).
+    identification_warmup: int = 0
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -387,9 +387,16 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 pending_log = (iteration, metrics)
             else:
                 attn_w = 10.0 if iteration < hp.attn_steps else 0.0
+                # Identification warm-up (config.py identification_warmup):
+                # hold the InfoGAN terms at 0 until D has anchored the
+                # manifold; a traced scalar like attn_w, so flipping it at
+                # the boundary recompiles nothing.
+                ident_w = 0.0 if iteration < int(getattr(
+                    hp, "identification_warmup", 0)) else 1.0
                 state, metrics, fake_pair = g_step(state, sharded,
                                                    jnp.float32(g_lr),
-                                                   jnp.float32(attn_w))
+                                                   jnp.float32(attn_w),
+                                                   jnp.float32(ident_w))
                 # (mel, lengths): teacher-forced mel + batch lengths, or the
                 # free-running rollout + gate lengths under
                 # hp.adversarial_rollouts (see train.step.g_step).

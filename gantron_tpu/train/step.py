@@ -156,6 +156,33 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             f"{generator.noise_size}: the code is a PREFIX of the style "
             "vector (config.py style_code_dims)")
     code_dims = code_dims or generator.noise_size
+    code_levels = int(getattr(hp, "style_code_levels", 0))
+    if code_levels == 1:
+        raise ValueError(
+            "style_code_levels=1 is a constant code (nothing to identify); "
+            "use 0 for continuous or >= 2 for a discrete grid")
+
+    def _draw_code(key, shape):
+        """Code-dim draw: continuous U[0,1) or, when style_code_levels >= 2,
+        the discrete grid {(k+0.5)/L} — the categorical-code InfoGAN form
+        that a discrete generative factor can satisfy ON-manifold (config.py
+        style_code_levels; the continuous form measurably watermarks)."""
+        if code_levels == 0:
+            return jax.random.uniform(key, shape)
+        k = jax.random.randint(key, shape, 0, code_levels)
+        return (k.astype(jnp.float32) + 0.5) / code_levels
+
+    def _redraw_code(key, code):
+        """Diversity-pair redraw. Discrete: shift by a nonzero offset mod L
+        so the pair ALWAYS differs (a same-code pair decodes identically
+        under the shared dropout key — zero contrast, wasted sample).
+        Continuous: independent redraw, as before."""
+        if code_levels == 0:
+            return jax.random.uniform(key, code.shape)
+        k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
+        off = jax.random.randint(key, code.shape, 1, code_levels)
+        return (((k + off) % code_levels).astype(jnp.float32)
+                + 0.5) / code_levels
     roll_decode = rollouts or style_recon or diversity
     inject_style = style_recon or diversity
     if roll_decode and getattr(hp, "quantized_inference", False):
@@ -185,12 +212,17 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
     deferred_dw = bool(getattr(hp, "deferred_dw", False))
 
     # ---------------- generator ----------------
-    def g_step(state, batch: Batch, g_lr, attn_weight):
+    def g_step(state, batch: Batch, g_lr, attn_weight, ident_scale=1.0):
         """One fused generator update. Returns (state, metrics,
         (fake_mel, fake_lengths)) — the fake pair feeds the loop's ring
         buffer for subsequent D steps: the teacher-forced mel with the
         batch's lengths by default, the free-running rollout mel with its
-        gate-decided lengths when ``hp.adversarial_rollouts``."""
+        gate-decided lengths when ``hp.adversarial_rollouts``.
+
+        ``ident_scale`` (traced, 0/1) gates the InfoGAN identification
+        terms for hp.identification_warmup (config.py): the loop passes 0
+        during warm-up so the run is a pure rollout GAN until D has
+        anchored the manifold, then 1 — same compiled graph throughout."""
         (rng, k_drop, k_noise, k_disc, k_roll, k_roll_noise,
          k_roll_disc) = jax.random.split(state.rng, 7)
 
@@ -241,9 +273,14 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     # the in-model "noise" rng draw) keeps the rollout
                     # distribution identical — same uniform prior, same
                     # shape.
+                    k_style = jax.random.fold_in(k_roll_noise, 1)
                     style = jax.random.uniform(
-                        jax.random.fold_in(k_roll_noise, 1),
+                        k_style,
                         (batch.text.shape[0], 1, generator.noise_size))
+                    if code_levels:
+                        style = style.at[:, :, :code_dims].set(_draw_code(
+                            jax.random.fold_in(k_style, 7),
+                            (batch.text.shape[0], 1, code_dims)))
                 roll = generator.apply(
                     {"params": _cast_in(g_params),
                      "batch_stats": state.g_batch_stats},
@@ -288,9 +325,9 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     # differentiable scan, not the early-exit loop), so no
                     # length mask is needed and the term stays exact under
                     # jit.
-                    redraw = jax.random.uniform(
+                    redraw = _redraw_code(
                         jax.random.fold_in(k_roll_noise, 2),
-                        (style.shape[0], style.shape[1], code_dims))
+                        style[:, :, :code_dims])
                     style2 = jnp.concatenate(
                         [redraw, style[:, :, code_dims:]], axis=-1)
                     roll2 = generator.apply(
@@ -319,8 +356,10 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         div_ratio = jnp.mean(jnp.minimum(
                             d_out / jnp.maximum(d_z, 1e-6), div_tau))
                     div_loss = -div_ratio
-            total = (taco + adv + roll_adv + style_recon_w * recon_loss
-                     + div_w * div_loss + attn_weight * attn_l)
+            total = (taco + adv + roll_adv
+                     + ident_scale * (style_recon_w * recon_loss
+                                      + div_w * div_loss)
+                     + attn_weight * attn_l)
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
                        generator_loss=total,

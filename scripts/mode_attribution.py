@@ -48,9 +48,13 @@ def main():
     # Any study variant: they share the inference architecture (the variant
     # overrides only touch the training schedule), but recording the true
     # variant keeps the artifact's provenance straight.
+    # Choices come from the single source of truth so a new study variant
+    # (e.g. infogan_sat) is probe-able the moment it exists — a stale
+    # hard-coded tuple silently dropped the round-4 sat attributions once.
+    from gan_mode_study import VARIANTS as _VARIANTS
+
     parser.add_argument("--variant", default="gan",
-                        choices=("gan", "nogan", "rollout", "infogan",
-                                 "infogan_ds", "infogan_code"))
+                        choices=tuple(sorted(_VARIANTS)))
     parser.add_argument("--iterations", type=int, default=3000,
                         help="must match the training run (schedule-derived "
                              "hparams feed the model config)")

@@ -38,15 +38,15 @@ mode_arm() {  # variant seed
       --n_styles 16 --n_dropout 16 --seed "$s"
 }
 
-mode_arm infogan 0
-mode_arm infogan 1
+mode_arm infogan_sat 0
+mode_arm infogan_sat 1
 mode_arm rollout 0
 mode_arm rollout 1
 run python scripts/gan_texture_study.py --variant nogan \
     --iterations "$ITERS" --hparams "$HPS" -o "$OUT/texstudy"
 run python scripts/gan_texture_study.py --variant gan \
     --iterations "$ITERS" --hparams "$HPS" -o "$OUT/texstudy"
-mode_arm infogan 2
+mode_arm infogan_sat 2
 run python scripts/gan_texture_study.py --variant rollout \
     --iterations "$ITERS" --hparams "$HPS" -o "$OUT/texstudy"
 
