@@ -102,6 +102,20 @@ VARIANTS = {
                     "diversity_cap": 0.9,
                     "style_code_dims": 1,
                     "style_code_levels": 2},
+    # The two fixes composed. Measured separately: the discrete code removes
+    # the watermark channel (bit seeds fail by COLLAPSE to one mode, never
+    # off-manifold — frac_near_mode 0.84 where it identifies vs warm's 0.69)
+    # at ~2x better fidelity (val mel 0.40-0.55 vs 0.63-0.65), but
+    # identification-at-init still races D (1/3 seeds); the warm-up fixes
+    # exactly that race (warm: 2/3 vs sat: 1/3). bit_warm = discrete code
+    # + the first third as the stable pure-rollout GAN.
+    "infogan_bit_warm": {"adversarial_rollouts": True,
+                         "style_reconstruction_weight": 10.0,
+                         "diversity_weight": 1.0,
+                         "diversity_cap": 0.9,
+                         "style_code_dims": 1,
+                         "style_code_levels": 2,
+                         "identification_warmup": 1000},
 }
 
 STUDY_TEXT = "aeioumnst"
