@@ -114,6 +114,46 @@ def force_style_emotions(model, variables, input_sequence, output_path,
     return max_decoder_steps_reached
 
 
+def coded_style(key, n_samples, noise_size, code, code_dims=1,
+                code_levels=2):
+    """Style batch with the identifiable code pinned to a chosen level.
+
+    The round-4 identification campaign (docs/TRAINING_EVIDENCE.md) makes
+    the first ``style_code_dims`` dims of the injected style vector a
+    discrete InfoGAN code drawn from the grid ``(k + 0.5) / L`` — the
+    measured mode controller. This helper builds the serving-side
+    counterpart: a ``(n_samples, 1, noise_size)`` style whose code dims are
+    pinned to level ``code`` and whose remaining nuisance dims draw
+    U[0, 1) from ``key``. Pass it as ``style=`` to ``Tacotron2.infer`` /
+    ``Synthesizer.infer_mel``/``tts`` to generate a chosen mode; vary
+    ``key`` to sample diverse utterances WITHIN that mode.
+
+    ``code``: int level in ``[0, code_levels)``, or an ``(n_samples,)``
+    int array for per-sample levels (e.g. a code sweep in one batch).
+    ``code_dims``/``code_levels`` must match the training config
+    (config.py ``style_code_dims``/``style_code_levels``); the reference
+    has no equivalent — its noise input is injected but never identified
+    (reference model.py:184-191, 273-279; train.py:371-383).
+    """
+    if not 0 < code_dims <= noise_size:
+        raise ValueError(
+            f"code_dims={code_dims} must be in [1, noise_size={noise_size}]"
+            " (the code is a prefix of the style vector)")
+    if code_levels < 2:
+        raise ValueError(
+            f"code_levels={code_levels}: a pinnable code needs >= 2 levels")
+    code = jnp.asarray(code, jnp.int32)
+    if code.ndim == 0:
+        code = jnp.broadcast_to(code, (n_samples,))
+    if code.shape != (n_samples,):
+        raise ValueError(
+            f"code shape {code.shape} != ({n_samples},): pass one level or "
+            "one per sample")
+    grid = (code.astype(jnp.float32) + 0.5) / code_levels
+    style = jax.random.uniform(key, (n_samples, 1, noise_size))
+    return style.at[:, 0, :code_dims].set(grid[:, None])
+
+
 def random_style(model, variables, input_sequence, noise_size, n_samples,
                  use_labels=False, speaker=None, key=None,
                  max_decoder_steps=500):

@@ -179,6 +179,56 @@ def test_discrete_code_step_runs():
     assert np.isfinite(float(metrics["generator_loss"]))
 
 
+def test_coded_style_semantics():
+    """Serving-side counterpart of the training code grid: coded_style
+    pins the code prefix to (k + 0.5) / L — the exact values the trained
+    grid uses (step.py _draw_code) — and draws nuisance dims U[0, 1)."""
+    from gantron_tpu.eval.sampling import coded_style
+
+    key = jax.random.PRNGKey(3)
+    s = coded_style(key, 5, 8, code=0, code_dims=2, code_levels=2)
+    assert s.shape == (5, 1, 8)
+    assert np.allclose(np.asarray(s[:, 0, :2]), 0.25)
+    s1 = coded_style(key, 5, 8, code=1, code_dims=2, code_levels=2)
+    assert np.allclose(np.asarray(s1[:, 0, :2]), 0.75)
+    # Same key => identical nuisance dims: the pair differs ONLY in code.
+    assert np.array_equal(np.asarray(s[:, 0, 2:]), np.asarray(s1[:, 0, 2:]))
+    nuis = np.asarray(s[:, 0, 2:])
+    assert (nuis >= 0).all() and (nuis < 1).all() and nuis.std() > 0
+    # Per-sample levels (a code sweep in one batch), 4-level grid.
+    sweep = coded_style(key, 4, 8, code=np.arange(4), code_dims=1,
+                        code_levels=4)
+    assert np.allclose(np.asarray(sweep[:, 0, 0]),
+                       [0.125, 0.375, 0.625, 0.875])
+    with pytest.raises(ValueError, match="code_dims"):
+        coded_style(key, 2, 8, code=0, code_dims=9)
+    with pytest.raises(ValueError, match="code_levels"):
+        coded_style(key, 2, 8, code=0, code_levels=1)
+    with pytest.raises(ValueError, match="code shape"):
+        coded_style(key, 3, 8, code=np.arange(2))
+
+
+def test_coded_style_drives_infer(setup):
+    """A pinned code must flow through Tacotron2.infer as the style input:
+    same key + same code is deterministic, and flipping ONLY the code
+    changes the decode (the serving API for the identified-mode control
+    measured in docs/TRAINING_EVIDENCE.md round 4)."""
+    from gantron_tpu.eval.sampling import coded_style
+
+    hp, batch, state, gen, disc, g_tx, d_tx, g_step = setup
+    variables = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+    text = jnp.asarray(batch.text[:2])
+    rngs = {"dropout": jax.random.PRNGKey(5), "noise": jax.random.PRNGKey(6)}
+    key = jax.random.PRNGKey(11)
+    lo = coded_style(key, 2, hp.noise_size, code=0)
+    hi = coded_style(key, 2, hp.noise_size, code=1)
+    out_lo = gen.apply(variables, text, lo, method=gen.infer, rngs=rngs)
+    out_lo2 = gen.apply(variables, text, lo, method=gen.infer, rngs=rngs)
+    out_hi = gen.apply(variables, text, hi, method=gen.infer, rngs=rngs)
+    assert np.array_equal(np.asarray(out_lo[1]), np.asarray(out_lo2[1]))
+    assert not np.array_equal(np.asarray(out_lo[1]), np.asarray(out_hi[1]))
+
+
 def test_single_level_code_rejected():
     from gantron_tpu.models import Tacotron2, make_discriminator
 
