@@ -49,8 +49,12 @@ def _probe_backend():
 
     err = None
     try:
+        # Import gantron_tpu FIRST so the child resolves the backend exactly
+        # like the parent benchmark will (the package applies a
+        # GANTRON_PLATFORM pin at import). Probing bare jax would test the
+        # tunnel while the benchmark runs pinned-CPU, or vice versa.
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c", "import gantron_tpu, jax; jax.devices()"],
             timeout=BACKEND_INIT_TIMEOUT_S, capture_output=True, text=True)
         if r.returncode != 0:
             tail = [ln for ln in r.stderr.strip().splitlines() if ln.strip()]
@@ -163,6 +167,9 @@ def main():
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / V100_BASELINE_STEPS_PER_SEC, 4),
+        # Honesty field: a GANTRON_PLATFORM=cpu pin (or a mis-resolved
+        # backend) must be visible in the record, not pass as a chip number.
+        "device": jax.devices()[0].device_kind,
     }))
 
 

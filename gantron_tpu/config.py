@@ -135,10 +135,12 @@ class HParams:
     # decision (round 4, full evidence pipeline head-to-head —
     # docs/TRAINING_EVIDENCE.md "K=2 decision evidence"): the DEFAULT stays 1
     # for training; K=2 is the documented SERVING-LATENCY option (decode RTF
-    # 0.0084 vs 0.0114, 1.72x fewer scan steps). Controllability is
-    # K-invariant (study acc 0.90, GER 0.00, kmeans 1.00 at both), but K=2
-    # trades attention quality at equal iterations (monotonicity 0.876 vs
-    # 0.999, val mel +11%) and its throughput case does not hold on
+    # 0.0084 vs 0.0114, 1.72x fewer scan steps). Controllability and
+    # attention quality are K-invariant-or-better (study acc 0.90, GER
+    # 0.00, kmeans 1.00 at both; K=2 alignment monotonicity 1.000 and
+    # focus 0.710 vs 0.683 once measured with step-level slicing); K=2's
+    # one measured quality cost is val mel +11% at equal iterations, and
+    # its throughput case does not hold on
     # short-utterance shapes where the scan no longer dominates. Flip
     # per-deployment behind the evidence pipeline's quality gate, not
     # silently for every user (the reference's checkpoints/recipes also

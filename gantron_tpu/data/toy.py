@@ -16,6 +16,27 @@ CHARS = "aeiou mnst"
 CHAR_SAMPLES = 1536  # ~70 ms per character
 
 
+def _emit_wav(path, audio):
+    """Idempotent corpus-wav write. The seeded builders always synthesize
+    the same bytes for a given path, so an existing file is left untouched:
+    re-materializing a corpus next to a LIVE training run (e.g.
+    mode_attribution --probe's anchor fallback) must not rewrite files the
+    run is reading. (write_wav itself is atomic, so even a fresh write
+    never exposes a truncated RIFF.)"""
+    if not os.path.exists(path):
+        write_wav(path, audio, SR)
+
+
+def _write_filelist(path, lines):
+    """Atomic filelist write; an empty split yields an empty FILE, not a
+    lone blank line (loaders skip blanks, but a 0-entry val set should
+    look empty everywhere, including to `wc -l`)."""
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    os.replace(tmp, path)
+
+
 def synth_utterance(text: str, rng) -> np.ndarray:
     """Each char -> a fixed-frequency tone burst; space -> near-silence."""
     parts = []
@@ -109,8 +130,8 @@ def build_emotive_corpus(root: str, n_utts: int = 300, n_train: int = None,
         rel = f"Audio/{emotion}/{speaker}/u{i}.wav"
         path = os.path.join(root, rel)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        write_wav(path, synth_emotive_utterance(text, emotion, speaker, rng),
-                  SR)
+        _emit_wav(path, synth_emotive_utterance(text, emotion, speaker,
+                                                rng))
         onehot = [1.0 if e == emotion else 0.0 for e in EMOTIONS]
         vec = ",".join(str(v) for v in onehot)
         lines.append(f"{rel}|{text}|{speaker}|{vec}")
@@ -119,10 +140,8 @@ def build_emotive_corpus(root: str, n_utts: int = 300, n_train: int = None,
     train_list = os.path.join(root, "train.txt")
     val_list = os.path.join(root, "val.txt")
     lj_empty = os.path.join(root, "lj_empty.txt")
-    with open(train_list, "w") as f:
-        f.write("\n".join(lines[:n_train]) + "\n")
-    with open(val_list, "w") as f:
-        f.write("\n".join(lines[n_train:]) + "\n")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
     open(lj_empty, "w").close()
     return root + os.sep, lj_empty, train_list, val_list
 
@@ -182,16 +201,14 @@ def build_bimodal_corpus(root: str, n_utts: int = 200, n_train: int = None,
         text = "".join(rng.choice(letters) for _ in range(n_chars))
         mode = int(rng.rand() < 0.5)
         name = f"u{i}.wav"
-        write_wav(os.path.join(wav_dir, name),
-                  synth_bimodal_utterance(text, mode, rng), SR)
+        _emit_wav(os.path.join(wav_dir, name),
+                  synth_bimodal_utterance(text, mode, rng))
         modes[name] = mode
         lines.append(f"{name}|{text}")
     train_list = os.path.join(root, "train.txt")
     val_list = os.path.join(root, "val.txt")
-    with open(train_list, "w") as f:
-        f.write("\n".join(lines[:n_train]) + "\n")
-    with open(val_list, "w") as f:
-        f.write("\n".join(lines[n_train:]) + "\n")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
     return wav_dir + os.sep, train_list, val_list, modes
 
 
@@ -245,15 +262,13 @@ def build_texture_corpus(root: str, n_utts: int = 200, n_train: int = None,
     for i in range(n_utts):
         n_chars = rng.randint(min_chars, max_chars)
         text = "".join(rng.choice(letters) for _ in range(n_chars))
-        write_wav(os.path.join(wav_dir, f"u{i}.wav"),
-                  synth_texture_utterance(text, rng), SR)
+        _emit_wav(os.path.join(wav_dir, f"u{i}.wav"),
+                  synth_texture_utterance(text, rng))
         lines.append(f"u{i}.wav|{text}")
     train_list = os.path.join(root, "train.txt")
     val_list = os.path.join(root, "val.txt")
-    with open(train_list, "w") as f:
-        f.write("\n".join(lines[:n_train]) + "\n")
-    with open(val_list, "w") as f:
-        f.write("\n".join(lines[n_train:]) + "\n")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
     return wav_dir + os.sep, train_list, val_list
 
 
@@ -272,13 +287,11 @@ def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
     for i in range(n_utts):
         n_chars = rng.randint(min_chars, max_chars)
         text = "".join(rng.choice(letters) for _ in range(n_chars))
-        write_wav(os.path.join(wav_dir, f"u{i}.wav"),
-                  synth_utterance(text, rng), SR)
+        _emit_wav(os.path.join(wav_dir, f"u{i}.wav"),
+                  synth_utterance(text, rng))
         lines.append(f"u{i}.wav|{text}")
     train_list = os.path.join(root, "train.txt")
     val_list = os.path.join(root, "val.txt")
-    with open(train_list, "w") as f:
-        f.write("\n".join(lines[:n_train]) + "\n")
-    with open(val_list, "w") as f:
-        f.write("\n".join(lines[n_train:]) + "\n")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
     return wav_dir + os.sep, train_list, val_list

@@ -6,6 +6,7 @@ decode -> mono -> resample to target rate -> float32, renormalized to
 resampling.
 """
 
+import os
 import struct
 
 import numpy as np
@@ -109,15 +110,22 @@ def wav_info(path):
 
 
 def write_wav(path, audio, rate=22050):
-    """Write mono float32 [-1, 1] audio as PCM16 (soundfile.write equiv)."""
+    """Write mono float32 [-1, 1] audio as PCM16 (soundfile.write equiv).
+
+    Atomic (temp + rename): a concurrent reader — e.g. a live training run
+    whose corpus an evaluation script re-materializes — never sees a
+    truncated RIFF file.
+    """
     audio = np.asarray(audio, np.float32)
     pcm = np.clip(audio, -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2").tobytes()
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
         f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2,
                                       2, 16))
         f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    os.replace(tmp, path)
 
 
 def load_wav(path, sampling_rate=22050):

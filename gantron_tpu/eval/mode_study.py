@@ -100,6 +100,26 @@ def mode_anchor_levels(levels_by_mode) -> dict:
     }
 
 
+def compute_real_anchors(train_list, wav_dir, modes, hp) -> dict:
+    """Real-mode anchors from the training mels via the SAME cached
+    extraction the run trains on (TextMelDataset.get_mel). One definition
+    shared by gan_mode_study.py and mode_attribution.py's --probe fallback
+    so probe artifacts can never silently use a diverged anchor rule."""
+    import os
+
+    from gantron_tpu.data.dataset import TextMelDataset
+
+    ds = TextMelDataset([train_list], hp, wav_dir)
+    channels = hiband_channels(hp)
+    levels_by_mode = {0: [], 1: []}
+    with open(train_list) as f:
+        names = [line.split("|")[0] for line in f if line.strip()]
+    for name in names:
+        mel = ds.get_mel(os.path.join(wav_dir, name))
+        levels_by_mode[modes[name]].append(hiband_level(mel, channels))
+    return mode_anchor_levels(levels_by_mode)
+
+
 def commitment_stats(gen_levels, anchors: dict) -> dict:
     """Score generated samples against the real-mode anchors.
 

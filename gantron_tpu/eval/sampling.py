@@ -128,12 +128,18 @@ def coded_style(key, n_samples, noise_size, code, code_dims=1,
     ``Synthesizer.infer_mel``/``tts`` to generate a chosen mode; vary
     ``key`` to sample diverse utterances WITHIN that mode.
 
-    ``code``: int level in ``[0, code_levels)``, or an ``(n_samples,)``
-    int array for per-sample levels (e.g. a code sweep in one batch).
-    ``code_dims``/``code_levels`` must match the training config
-    (config.py ``style_code_dims``/``style_code_levels``); the reference
-    has no equivalent — its noise input is injected but never identified
-    (reference model.py:184-191, 273-279; train.py:371-383).
+    ``code``: int level in ``[0, code_levels)``, broadcast to every sample
+    and code dim; or ``(n_samples,)`` per-sample levels (a code sweep in
+    one batch, all code dims sharing the sample's level); or
+    ``(code_dims,)`` / ``(n_samples, code_dims)`` per-DIM levels — the
+    training draw samples each code dim independently (step.py
+    _draw_code), so for ``code_dims > 1`` the trained grid has
+    ``code_levels ** code_dims`` cells and only the per-dim forms can
+    reach the off-diagonal ones. ``code_dims``/``code_levels`` must match
+    the training config (config.py ``style_code_dims``/
+    ``style_code_levels``); the reference has no equivalent — its noise
+    input is injected but never identified (reference model.py:184-191,
+    273-279; train.py:371-383).
     """
     if not 0 < code_dims <= noise_size:
         raise ValueError(
@@ -144,14 +150,19 @@ def coded_style(key, n_samples, noise_size, code, code_dims=1,
             f"code_levels={code_levels}: a pinnable code needs >= 2 levels")
     code = jnp.asarray(code, jnp.int32)
     if code.ndim == 0:
-        code = jnp.broadcast_to(code, (n_samples,))
-    if code.shape != (n_samples,):
+        code = jnp.broadcast_to(code, (n_samples, code_dims))
+    elif code.shape == (n_samples,) and code_dims != n_samples:
+        code = jnp.broadcast_to(code[:, None], (n_samples, code_dims))
+    elif code.shape == (code_dims,):
+        code = jnp.broadcast_to(code[None, :], (n_samples, code_dims))
+    if code.shape != (n_samples, code_dims):
         raise ValueError(
-            f"code shape {code.shape} != ({n_samples},): pass one level or "
-            "one per sample")
+            f"code shape {code.shape} is none of (), ({n_samples},), "
+            f"({code_dims},), ({n_samples}, {code_dims}): pass one level, "
+            "per-sample levels, per-dim levels, or the full grid")
     grid = (code.astype(jnp.float32) + 0.5) / code_levels
     style = jax.random.uniform(key, (n_samples, 1, noise_size))
-    return style.at[:, 0, :code_dims].set(grid[:, None])
+    return style.at[:, 0, :code_dims].set(grid)
 
 
 def random_style(model, variables, input_sequence, noise_size, n_samples,

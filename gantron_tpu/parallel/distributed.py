@@ -77,12 +77,15 @@ def barrier(name: str, timeout_s: float = 600.0) -> None:
         # init gives peers only ~30 s — less than a cold jit compile).
         from jax._src import distributed as _internal
 
-        client = getattr(_internal.global_state, "client", None)
+        client = getattr(getattr(_internal, "global_state", None),
+                         "client", None)
         if client is not None:
             client.wait_at_barrier(f"gantron_barrier:{name}",
                                    int(timeout_s * 1000))
             return
-    except ImportError:
+    except (ImportError, AttributeError):
+        # AttributeError: the module still imports but global_state/
+        # wait_at_barrier was renamed — the same "internals moved" case.
         pass
     # A JAX upgrade moved/removed the internal client: fall back to the
     # public device sync (shorter implicit deadline, but a working barrier

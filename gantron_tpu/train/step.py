@@ -319,12 +319,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     # masks derive deterministically from the passed rng),
                     # so the two decodes differ exactly by the code.
                     # Per-sample output-distance per unit code-distance,
-                    # clamped at tau, rewarded. Full padded frame grid:
-                    # every frame up to the scan bound is a real decoder
-                    # output (the training rollout is the fixed-length
-                    # differentiable scan, not the early-exit loop), so no
-                    # length mask is needed and the term stays exact under
-                    # jit.
+                    # clamped at tau, rewarded.
                     redraw = _redraw_code(
                         jax.random.fold_in(k_roll_noise, 2),
                         style[:, :, :code_dims])
@@ -338,9 +333,25 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         method=generator.infer,
                         text_lengths=batch.text_lengths,
                         rngs={"dropout": k_roll, "noise": k_roll_noise})
-                    d_out = jnp.mean(
-                        jnp.abs(roll_mel - roll2[1].astype(jnp.float32)),
-                        axis=(1, 2))
+                    # The rollout scan zeroes mel frames past each sample's
+                    # gate stop (tacotron2.py _open_step), so averaging over
+                    # the full padded grid would (a) dilute d_out by the
+                    # post-stop zeros and (b) pay full-mel reward over
+                    # [min_len, max_len) when the code merely moves the stop
+                    # step. Average over each PAIR's max length instead:
+                    # frames where one decode has stopped and the other
+                    # hasn't still count (that IS an output difference
+                    # serving would produce), but the denominator is the
+                    # frames either decode actually emits.
+                    roll2_mel = roll2[1].astype(jnp.float32)
+                    pair_len = jnp.maximum(roll_lengths, roll2[4])
+                    T_roll = roll_mel.shape[2]
+                    frame_mask = (jnp.arange(T_roll)[None, :]
+                                  < pair_len[:, None]).astype(jnp.float32)
+                    d_out = (jnp.sum(jnp.abs(roll_mel - roll2_mel)
+                                     * frame_mask[:, None, :], axis=(1, 2))
+                             / (roll_mel.shape[1]
+                                * jnp.maximum(pair_len, 1)))
                     if div_cap > 0:
                         # Output-unit saturation (config.py diversity_cap):
                         # reward in [0, 1], zero gradient past the cap —

@@ -106,11 +106,17 @@ def alignment_check(model, variables, hp, text, n_groups, batch=8, seed=1):
             method=model.infer,
             rngs={"dropout": jax.random.PRNGKey(seed + 2 * g),
                   "noise": jax.random.PRNGKey(seed + 2 * g + 1)})
-        align = np.asarray(out[3])   # (B, S, T_in)
+        align = np.asarray(out[3])   # (B, S, T_in) — one row per scan STEP
         lengths = np.asarray(out[4])
         T = align.shape[2]
+        # Decoder.infer returns frame-level lengths (= steps * K); the
+        # alignment matrix has one row per scan step, so slice in STEP
+        # units — otherwise every K>1 sample's metrics would include
+        # post-gate-stop attention rows (parked on one position) and the
+        # K=1 vs K=2 comparison would be apples-to-oranges.
+        K = int(getattr(hp, "n_frames_per_step", 1) or 1)
         for i in range(batch):
-            L = max(int(lengths[i]), 1)
+            L = max(-(-int(lengths[i]) // K), 1)
             a = align[i, :L]
             arg = a.argmax(axis=1)
             focus.append(float(a.max(axis=1).mean()))

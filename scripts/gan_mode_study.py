@@ -146,11 +146,10 @@ def main():
     import jax
 
     from gantron_tpu.config import HParams
-    from gantron_tpu.data.dataset import TextMelDataset
     from gantron_tpu.data.toy import build_bimodal_corpus
     from gantron_tpu.eval.mode_study import (commitment_stats,
-                                             hiband_channels, hiband_level,
-                                             mode_anchor_levels)
+                                             compute_real_anchors,
+                                             hiband_channels, hiband_level)
     from gantron_tpu.eval.sampling import random_style
     from gantron_tpu.text import text_to_sequence
     from gantron_tpu.train.checkpoint import CheckpointManager
@@ -191,16 +190,10 @@ def main():
         os.path.join(out, f"{args.variant}.metrics.jsonl"))
 
     # Real-mode anchors from the training mels, via the SAME extraction the
-    # dataset trained on (cached next to the wavs).
-    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    # dataset trained on (cached next to the wavs; shared with
+    # mode_attribution.py's --probe fallback).
+    anchors = compute_real_anchors(train_list, wav_dir, modes, hp)
     channels = hiband_channels(hp)
-    levels_by_mode = {0: [], 1: []}
-    with open(train_list) as f:
-        names = [line.split("|")[0] for line in f if line.strip()]
-    for name in names:
-        mel = ds.get_mel(os.path.join(wav_dir, name))
-        levels_by_mode[modes[name]].append(hiband_level(mel, channels))
-    anchors = mode_anchor_levels(levels_by_mode)
 
     # Free-running generation: one text, `samples` independent noise draws.
     ckpt_path = CheckpointManager(out).latest()

@@ -114,25 +114,20 @@ def main():
     else:
         # Mid-run probe before gan_mode_study has written its artifact:
         # recompute the real-mode anchors from the (deterministic, seeded)
-        # corpus via the same cached mel extraction the run trains on.
-        from gantron_tpu.data.dataset import TextMelDataset
+        # corpus via the shared helper — same extraction the run trains on.
+        # build_bimodal_corpus is read-safe next to a live run: existing
+        # wavs are never rewritten (toy.py _emit_wav) and filelist writes
+        # are atomic; it is re-invoked here only to reconstruct the seeded
+        # ``modes`` map.
         from gantron_tpu.data.toy import build_bimodal_corpus
-        from gantron_tpu.eval.mode_study import mode_anchor_levels
+        from gantron_tpu.eval.mode_study import compute_real_anchors
 
         corpus_root = os.path.join(
             os.path.dirname(os.path.abspath(args.run_dir)),
             f"corpus{args.seed}" if args.seed else "corpus")
         wav_dir, train_list, _, modes = build_bimodal_corpus(
             corpus_root, n_utts=args.n_utts, seed=args.seed)
-        ds = TextMelDataset([train_list], hp, wav_dir)
-        chans = hiband_channels(hp)
-        levels_by_mode = {0: [], 1: []}
-        with open(train_list) as f:
-            names = [line.split("|")[0] for line in f if line.strip()]
-        for name in names:
-            mel = ds.get_mel(os.path.join(wav_dir, name))
-            levels_by_mode[modes[name]].append(hiband_level(mel, chans))
-        anchors = mode_anchor_levels(levels_by_mode)
+        anchors = compute_real_anchors(train_list, wav_dir, modes, hp)
     midpoint = anchors["midpoint"]
 
     ckpt_path = CheckpointManager(args.run_dir).latest()

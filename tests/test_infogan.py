@@ -200,6 +200,15 @@ def test_coded_style_semantics():
                         code_levels=4)
     assert np.allclose(np.asarray(sweep[:, 0, 0]),
                        [0.125, 0.375, 0.625, 0.875])
+    # Per-DIM levels: the training draw is independent per code dim, so a
+    # 2-dim binary code has 4 trained cells; the (code_dims,) and
+    # (n_samples, code_dims) forms reach the off-diagonal ones.
+    offd = coded_style(key, 3, 8, code=np.array([0, 1]), code_dims=2)
+    assert np.allclose(np.asarray(offd[:, 0, :2]), [0.25, 0.75])
+    full = coded_style(key, 2, 8, code=np.array([[0, 1], [1, 0]]),
+                       code_dims=2)
+    assert np.allclose(np.asarray(full[:, 0, :2]),
+                       [[0.25, 0.75], [0.75, 0.25]])
     with pytest.raises(ValueError, match="code_dims"):
         coded_style(key, 2, 8, code=0, code_dims=9)
     with pytest.raises(ValueError, match="code_levels"):
