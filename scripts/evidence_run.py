@@ -28,6 +28,18 @@ VARIANTS = {
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
     "k2": {"n_frames_per_step": 2},
     "k4": {"n_frames_per_step": 4},
+    # The reference's "Full GANtron" shape (labels + noise, README.md:26-33)
+    # composed with the round-4 identification stack that the mode study
+    # validated (gan_mode_study.py infogan_bit_warm). The question this arm
+    # measures: do the emotion-controllability gates (study acc / GER /
+    # kmeans / alignment) survive an IDENTIFIED latent riding alongside the
+    # label conditioning?
+    "full_identified": {"use_noise": True, "noise_size": 32,
+                        "adversarial_rollouts": True,
+                        "style_reconstruction_weight": 10.0,
+                        "diversity_weight": 1.0, "diversity_cap": 0.9,
+                        "style_code_dims": 1, "style_code_levels": 2,
+                        "identification_warmup": 1000},
 }
 
 STUDY_TEXT = "aeioumnst"  # toy-alphabet sentence for generation
