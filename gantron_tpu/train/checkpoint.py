@@ -122,6 +122,21 @@ class CheckpointManager:
                 best = (parsed[0], os.path.join(self.output_directory, name))
         return best[1] if best else None
 
+    def best(self) -> Optional[str]:
+        """The on-disk checkpoint with the lowest recorded val loss — what
+        keep-best retention preserved (the reference tracks the same
+        best-ever checkpoint, train.py:455-465). Ties go to the later
+        iteration."""
+        best = None
+        for name in os.listdir(self.output_directory):
+            parsed = self.parse_name(name)
+            if parsed is None:
+                continue
+            key = (parsed[1], -parsed[0])
+            if best is None or key < best[0]:
+                best = (key, os.path.join(self.output_directory, name))
+        return best[1] if best else None
+
 
 # Reference dotted layer names -> our tree path prefixes (ignore_layers are
 # the dataset-dependent layers whose shapes change across conditioning

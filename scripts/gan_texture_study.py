@@ -32,6 +32,22 @@ VARIANTS = {
     "gan": {},
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
     "rollout": {"adversarial_rollouts": True},
+    # Round-4 extension arms: D-side knobs the reference ships but never
+    # measures (hparams.py:93-102), each asked "does it recover more of the
+    # unpredictable per-frame texture?".
+    # WGAN-GP (reference train.py:32-69, off by default) instead of the
+    # 0.001 weight clip — a much softer Lipschitz constraint, so D keeps
+    # more capacity to see texture statistics.
+    "gp": {"gradient_penalty_lambda": 10.0},
+    "gp_rollout": {"gradient_penalty_lambda": 10.0,
+                   "adversarial_rollouts": True},
+    # The reference's second discriminator family (model.py:543-583).
+    "lindisc": {"discriminator_type": "linear"},
+    # Finer windows: 10-frame scores give D ~2x more views per utterance of
+    # the per-frame statistic.
+    "win10": {"discriminator_window": 10},
+    # Twice the D steps per G/D cycle.
+    "gan_d2": {"d_freq": 2},
 }
 
 STUDY_TEXT = "aeioumnst"

@@ -78,6 +78,12 @@ def main():
     parser.add_argument("--n_utts", type=int, default=200,
                         help="corpus size for the anchor recomputation "
                              "fallback (must match the training run)")
+    parser.add_argument("--select", choices=("latest", "best"),
+                        default="latest",
+                        help="'best' scores the checkpoint keep-best "
+                             "retention preserved (lowest val loss on "
+                             "disk) — the one a deployment would load — "
+                             "instead of the run's endpoint")
     args = parser.parse_args()
 
     from gantron_tpu.utils.cache import enable_compilation_cache
@@ -130,7 +136,8 @@ def main():
         anchors = compute_real_anchors(train_list, wav_dir, modes, hp)
     midpoint = anchors["midpoint"]
 
-    ckpt_path = CheckpointManager(args.run_dir).latest()
+    manager = CheckpointManager(args.run_dir)
+    ckpt_path = manager.best() if args.select == "best" else manager.latest()
     model, variables = load_generator(ckpt_path, hp)
     channels = hiband_channels(hp)
 
@@ -186,6 +193,7 @@ def main():
         "variant": args.variant,
         "hparams_override": args.hparams,
         "checkpoint": os.path.basename(ckpt_path),
+        "selection": args.select,
         "n_styles": N,
         "n_dropout": M,
         "grid_frac_hi": round(frac_hi, 4),
@@ -202,7 +210,8 @@ def main():
         "anchors": anchors,
         "device": str(jax.devices()[0]),
     }
-    name = "mode_attribution.json"
+    name = ("mode_attribution.json" if args.select == "latest"
+            else "mode_attribution_best.json")
     if args.probe:
         it = os.path.basename(ckpt_path).split("iter=")[1].split("_")[0]
         result["probe_iteration"] = int(it)

@@ -59,6 +59,17 @@ def test_ckpt_retention(tmp_path):
     parsed = mgr.parse_name(p3)
     assert parsed == (300, 3.0)
     assert mgr.latest().endswith("iter=300_val-loss=3.0.ckpt")
+    # best() finds the keep-best survivor on disk — a FRESH manager (no
+    # in-memory retention state), the deployment-load scenario.
+    assert CheckpointManager(str(tmp_path)).best() == p2
+
+
+def test_ckpt_best_tie_prefers_later_iteration(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    state = {"w": jnp.ones((3,))}
+    mgr.save(state, 100, 2.0)
+    p2 = mgr.save(state, 200, 2.0)  # equal -> both survive retention
+    assert CheckpointManager(str(tmp_path)).best() == p2
 
 
 def test_load_generator_from_real_checkpoint(tmp_path):
