@@ -72,6 +72,14 @@ class HParams:
     # Render vocoded validation audio at checkpoints (reference
     # logger.py:27-54; WaveGlow when --waveglow_path given, else Griffin-Lim).
     validation_audio: bool = True
+    # Free-running mode-collapse detector: decode this many open-loop samples
+    # of one validation text at each validation (distinct noise draws) and log
+    # their mean pairwise masked L1 spread as "Sample diversity". Teacher-
+    # forced val mel conditions on real history, so it is structurally blind
+    # to mode collapse — a GAN can converge in val mel while sampling one
+    # mode (measured: docs/TRAINING_EVIDENCE.md round-4 keep-best probe).
+    # 0 disables (default: costs one extra compiled decode per validation).
+    validation_sample_diversity: int = 0
     seed: int = 1234
     dynamic_loss_scaling: bool = True  # inert on TPU (bf16 needs no scaling)
     fp16_run: bool = False  # on TPU: bfloat16 compute

@@ -182,3 +182,31 @@ def random_style(model, variables, input_sequence, noise_size, n_samples,
         rngs={"dropout": jax.random.fold_in(key, 0),
               "noise": jax.random.fold_in(key, 1)})
     return np.asarray(out[1]), np.asarray(out[4])
+
+
+def pairwise_sample_distance(mels, lengths):
+    """Mean pairwise masked L1 distance between free-running samples of the
+    SAME text — the mode-collapse detector behind
+    ``validation_sample_diversity`` (config.py). Per pair, the distance is
+    averaged over the pair's max emitted length (the same masking as the
+    training diversity term, train/step.py d_out): frames where one decode
+    has stopped and the other hasn't still count, but post-stop zero padding
+    common to both does not dilute the statistic. ~0 across independent
+    noise/dropout draws = the sampler has collapsed to one output — a
+    failure teacher-forced validation loss cannot see, because it conditions
+    every frame on real history (measured: docs/TRAINING_EVIDENCE.md
+    round-4 keep-best probe).
+
+    mels: (B, n_mels, T) array; lengths: (B,) emitted frame counts.
+    Returns a float (0.0 when B < 2).
+    """
+    mels = np.asarray(mels, np.float32)
+    lengths = np.asarray(lengths)
+    B, n_mels, T = mels.shape
+    dists = []
+    for i in range(B):
+        for j in range(i + 1, B):
+            pair_len = int(max(lengths[i], lengths[j], 1))
+            d = np.abs(mels[i, :, :pair_len] - mels[j, :, :pair_len])
+            dists.append(d.sum() / (n_mels * pair_len))
+    return float(np.mean(dists)) if dists else 0.0

@@ -252,6 +252,39 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     d_step = jax.jit(d_step_fn, donate_argnums=(0,))
     eval_step = jax.jit(eval_step_fn)
 
+    diversity_probe = None
+    if (getattr(hp, "validation_sample_diversity", 0) or 0) > 1 \
+            and jax.process_count() == 1:
+        # Free-running mode-collapse detector (config.py
+        # validation_sample_diversity): decode M open-loop samples of one
+        # fixed validation text per validation, log their pairwise spread.
+        # Teacher-forced val mel is structurally blind to mode collapse
+        # (docs/TRAINING_EVIDENCE.md round-4 keep-best probe). Single-process
+        # only: this decode runs outside the collective step and would
+        # desync a multi-host schedule.
+        _probe_batch = next(iter(val_loader), None)
+        if _probe_batch is not None:
+            M = int(hp.validation_sample_diversity)
+            _t_len = max(int(np.asarray(_probe_batch.text_lengths)[0]), 1)
+            _probe_text = jnp.asarray(
+                np.asarray(_probe_batch.text)[:1, :_t_len], jnp.int32)
+            _probe_infer = jax.jit(lambda v, text, kd, kn: generator.apply(
+                v, text, None, None, None, hp.max_decoder_steps,
+                method=generator.infer, rngs={"dropout": kd, "noise": kn}))
+
+            def diversity_probe(st, it):
+                from gantron_tpu.eval.sampling import (
+                    pairwise_sample_distance)
+
+                text = jnp.broadcast_to(_probe_text, (M, _probe_text.shape[1]))
+                k = jax.random.fold_in(
+                    jax.random.PRNGKey(hp.seed + 17), it)
+                out = _probe_infer(
+                    {"params": st.g_params, "batch_stats": st.g_batch_stats},
+                    text, jax.random.fold_in(k, 0), jax.random.fold_in(k, 1))
+                return pairwise_sample_distance(
+                    np.asarray(out[1]), np.asarray(out[4]))
+
     ckpt = CheckpointManager(output_directory)
     iteration = 0
     g_lr, d_lr = hp.g_learning_rate, hp.d_learning_rate
@@ -335,6 +368,10 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                             media_dir=os.path.join(output_directory, "media")
                             if chief else None,
                             vocoder=vocoder)
+        if diversity_probe is not None:
+            logger.log_values(iteration,
+                              sample_diversity=diversity_probe(state,
+                                                               iteration))
         if chief:
             path = ckpt.save(jax.device_get(state), iteration, val_loss,
                              extra={"g_lr": g_lr, "d_lr": d_lr})

@@ -31,7 +31,7 @@ def tiny_hp(**over):
 
 
 def test_training_loop_runs_and_checkpoints(tmp_path):
-    hp = tiny_hp()
+    hp = tiny_hp(validation_sample_diversity=3)
     out_dir = str(tmp_path / "run")
     logger = MetricLogger(out_dir, run_name="test")
     state, iteration = train(out_dir, None, False, hp, "synthetic",
@@ -51,6 +51,10 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
     assert "Generator loss" in keys
     assert "Discriminator loss" in keys
     assert "Validation mel loss" in keys
+    # The free-running mode-collapse detector logged a positive spread
+    # (always-on prenet dropout alone guarantees > 0 across draws).
+    divs = [r["Sample diversity"] for r in records if "Sample diversity" in r]
+    assert divs and all(np.isfinite(d) and d > 0 for d in divs)
 
 
 def test_resume_from_checkpoint(tmp_path):
