@@ -272,6 +272,85 @@ def build_texture_corpus(root: str, n_utts: int = 200, n_train: int = None,
     return wav_dir + os.sep, train_list, val_list
 
 
+# --- Composed corpus: BOTH hidden factors in one signal ---
+#
+# The bimodal corpus tests mode SELECTION, the texture corpus tests
+# per-frame TEXTURE; each study trained a different model. This corpus
+# carries both factors on disjoint frequency bands so ONE trained model can
+# be scored on identification (latent controls the mode) AND texture
+# recovery (adversarial loss reproduces the unpredictable variance):
+#   * mode bit (hidden from text/labels): a steady band-limited noise in
+#     [4.0, 4.8] kHz — 6 mel channels centered 4008-4856 Hz.
+#   * per-frame texture (always on): i.i.d. per-block amplitude noise
+#     >= 5.4 kHz — scored on the 10 mel channels centered >= 5449 Hz.
+# One buffer channel (center 5046-5244 Hz) separates the bands, so the
+# 4.8 kHz marker's triangle (ends ~5244 Hz) never reaches the texture
+# scoring band and vice versa.
+
+MODEBAND_LO_HZ = 4000.0
+MODEBAND_HI_HZ = 4800.0
+TEXBAND_LO_HZ = 5400.0
+# Scoring bands (mel channel selection) — slightly inside the signal bands.
+MODEBAND_SCORE = (3900.0, 4900.0)
+TEXBAND_SCORE = 5300.0
+
+
+def _bandlimited_noise(n: int, lo_hz: float, hi_hz: float, rng) -> np.ndarray:
+    """Unit-std FFT-brickwall noise restricted to [lo_hz, hi_hz)."""
+    noise = rng.randn(n).astype(np.float32)
+    spec = np.fft.rfft(noise)
+    freqs = np.fft.rfftfreq(n, 1.0 / SR)
+    spec[(freqs < lo_hz) | (freqs >= hi_hz)] = 0
+    noise = np.fft.irfft(spec, n=n).astype(np.float32)
+    return noise / max(np.std(noise), 1e-6)
+
+
+def synth_composed_utterance(text: str, mode: int, rng) -> np.ndarray:
+    """Tone-language utterance + (mode ? steady [4.0,4.8] kHz marker : 0)
+    + i.i.d. per-block >=5.4 kHz texture (always)."""
+    wav = synth_utterance(text, rng)
+    envelope = np.abs(wav) + 0.05
+    if mode:
+        marker = _bandlimited_noise(wav.size, MODEBAND_LO_HZ,
+                                    MODEBAND_HI_HZ, rng)
+        wav = wav + HIBAND_AMP * marker * envelope
+    tex = _bandlimited_noise(wav.size, TEXBAND_LO_HZ, SR / 2.0, rng)
+    n_blocks = (wav.size + TEXTURE_HOP - 1) // TEXTURE_HOP
+    amps = rng.rand(n_blocks).astype(np.float32)
+    amp_per_sample = np.repeat(amps, TEXTURE_HOP)[: wav.size]
+    wav = wav + 2.0 * HIBAND_AMP * tex * amp_per_sample
+    return wav.astype(np.float32)
+
+
+def build_composed_corpus(root: str, n_utts: int = 200, n_train: int = None,
+                          min_chars: int = 5, max_chars: int = 9,
+                          seed: int = 0):
+    """LJSpeech-layout corpus carrying BOTH hidden factors (mode bit on
+    [4.0,4.8] kHz, i.i.d. per-frame texture >=5.4 kHz). Returns
+    (wav_dir_with_sep, train_filelist, val_filelist, modes)."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    modes = {}
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        mode = int(rng.rand() < 0.5)
+        name = f"u{i}.wav"
+        _emit_wav(os.path.join(wav_dir, name),
+                  synth_composed_utterance(text, mode, rng))
+        modes[name] = mode
+        lines.append(f"{name}|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
+    return wav_dir + os.sep, train_list, val_list, modes
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

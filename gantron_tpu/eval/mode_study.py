@@ -14,15 +14,26 @@ import numpy as np
 from gantron_tpu.data.toy import HIBAND_LO_HZ
 
 
-def hiband_channels(hp, lo_hz: float = HIBAND_LO_HZ) -> np.ndarray:
-    """Indices of mel channels whose center frequency is >= ``lo_hz``."""
+def band_channels(hp, lo_hz: float, hi_hz: float = None) -> np.ndarray:
+    """Indices of mel channels whose center frequency is in
+    [``lo_hz``, ``hi_hz``) (``hi_hz=None`` = unbounded above). The composed
+    corpus (data.toy.build_composed_corpus) scores its two hidden factors on
+    disjoint bands through this selector."""
     from gantron_tpu.audio.filters import hz_to_mel, mel_to_hz
 
     pts = mel_to_hz(np.linspace(hz_to_mel(hp.mel_fmin),
                                 hz_to_mel(hp.mel_fmax),
                                 hp.n_mel_channels + 2))
     centers = pts[1:-1]
-    return np.nonzero(centers >= lo_hz)[0]
+    keep = centers >= lo_hz
+    if hi_hz is not None:
+        keep &= centers < hi_hz
+    return np.nonzero(keep)[0]
+
+
+def hiband_channels(hp, lo_hz: float = HIBAND_LO_HZ) -> np.ndarray:
+    """Indices of mel channels whose center frequency is >= ``lo_hz``."""
+    return band_channels(hp, lo_hz)
 
 
 def hiband_level(mel: np.ndarray, channels: np.ndarray) -> float:
@@ -100,17 +111,21 @@ def mode_anchor_levels(levels_by_mode) -> dict:
     }
 
 
-def compute_real_anchors(train_list, wav_dir, modes, hp) -> dict:
+def compute_real_anchors(train_list, wav_dir, modes, hp,
+                         channels=None) -> dict:
     """Real-mode anchors from the training mels via the SAME cached
     extraction the run trains on (TextMelDataset.get_mel). One definition
     shared by gan_mode_study.py and mode_attribution.py's --probe fallback
-    so probe artifacts can never silently use a diverged anchor rule."""
+    so probe artifacts can never silently use a diverged anchor rule.
+    ``channels`` overrides the default >=5 kHz band (the composed corpus
+    anchors its mode bit on the [3.9, 4.9] kHz band instead)."""
     import os
 
     from gantron_tpu.data.dataset import TextMelDataset
 
     ds = TextMelDataset([train_list], hp, wav_dir)
-    channels = hiband_channels(hp)
+    if channels is None:
+        channels = hiband_channels(hp)
     levels_by_mode = {0: [], 1: []}
     with open(train_list) as f:
         names = [line.split("|")[0] for line in f if line.strip()]
@@ -118,6 +133,48 @@ def compute_real_anchors(train_list, wav_dir, modes, hp) -> dict:
         mel = ds.get_mel(os.path.join(wav_dir, name))
         levels_by_mode[modes[name]].append(hiband_level(mel, channels))
     return mode_anchor_levels(levels_by_mode)
+
+
+def attribution_grid_stats(levels: np.ndarray, midpoint: float) -> dict:
+    """Noise-vs-dropout attribution statistics on an (N styles, M dropout)
+    grid of scalar mode levels (one decode each, same text).
+
+    Under "dropout decides, the latent is ignored" the per-style hi counts
+    are Binomial(M, frac_hi); a latent-driven mode split overdisperses them
+    (``per_style_chi2_p`` < ~0.05 = real per-style structure). One
+    definition shared by scripts/mode_attribution.py and
+    scripts/gan_composed_study.py."""
+    levels = np.asarray(levels, np.float64)
+    N, M = levels.shape
+    mode = levels > midpoint  # True = hi mode
+    hi_per_style = mode.sum(axis=1)
+    majority = np.maximum(hi_per_style, M - hi_per_style) / M
+    frac_hi = float(mode.mean())
+    chance_floor = max(frac_hi, 1 - frac_hi)
+    if 0.0 < frac_hi < 1.0:
+        from scipy import stats
+        chi2 = float(((hi_per_style - M * frac_hi) ** 2
+                      / (M * frac_hi * (1 - frac_hi))).sum())
+        chi2_p = float(1 - stats.chi2.cdf(chi2, df=N - 1))
+    else:
+        chi2, chi2_p = 0.0, 1.0  # degenerate grid (fully collapsed)
+    return {
+        "n_styles": N,
+        "n_dropout": M,
+        "grid_frac_hi": round(frac_hi, 4),
+        "within_noise_consistency": round(float(majority.mean()), 4),
+        "consistency_chance_floor": round(chance_floor, 4),
+        "styles_majority_hi": int((hi_per_style > M / 2).sum()),
+        "styles_majority_lo": int(N - (hi_per_style > M / 2).sum()),
+        "per_style_chi2": round(chi2, 2),
+        "per_style_chi2_p": round(chi2_p, 4),
+        "hi_fraction_std_across_styles":
+            round(float(mode.mean(axis=1).std()), 4),
+        "hi_fraction_std_across_dropout":
+            round(float(mode.mean(axis=0).std()), 4),
+        "per_style_hi_counts": hi_per_style.tolist(),
+        "level_grid": np.round(levels, 3).tolist(),
+    }
 
 
 def commitment_stats(gen_levels, anchors: dict) -> dict:

@@ -166,27 +166,7 @@ def main():
             m = mels[i, :, : max(int(lens[i]), 2)]
             levels[i, j] = hiband_level(m, channels)
 
-    mode = levels > midpoint  # (N, M) True = textured/hi mode
-    hi_per_style = mode.sum(axis=1)
-    majority = np.maximum(hi_per_style, M - hi_per_style) / M
-    frac_hi = float(mode.mean())
-    chance_floor = max(frac_hi, 1 - frac_hi)
-    n_hi_styles = int((hi_per_style > M / 2).sum())
-    # Per-style structure test: under "dropout decides, style is ignored"
-    # the per-style hi counts are Binomial(M, frac_hi); a latent-driven mode
-    # split overdisperses them. chi2 p < ~0.05 = real per-style structure.
-    if 0.0 < frac_hi < 1.0:
-        from scipy import stats
-        chi2 = float(((hi_per_style - M * frac_hi) ** 2
-                      / (M * frac_hi * (1 - frac_hi))).sum())
-        chi2_p = float(1 - stats.chi2.cdf(chi2, df=N - 1))
-    else:
-        chi2, chi2_p = 0.0, 1.0  # degenerate grid (fully collapsed)
-
-    # Contrast: variance of the hi-fraction across styles vs across dropout
-    # keys. Latent-driven -> style axis explains the spread.
-    hi_by_style = mode.mean(axis=1)  # (N,)
-    hi_by_drop = mode.mean(axis=0)   # (M,)
+    from gantron_tpu.eval.mode_study import attribution_grid_stats
 
     result = {
         "run_dir": args.run_dir,
@@ -194,19 +174,7 @@ def main():
         "hparams_override": args.hparams,
         "checkpoint": os.path.basename(ckpt_path),
         "selection": args.select,
-        "n_styles": N,
-        "n_dropout": M,
-        "grid_frac_hi": round(frac_hi, 4),
-        "within_noise_consistency": round(float(majority.mean()), 4),
-        "consistency_chance_floor": round(chance_floor, 4),
-        "styles_majority_hi": n_hi_styles,
-        "styles_majority_lo": N - n_hi_styles,
-        "per_style_chi2": round(chi2, 2),
-        "per_style_chi2_p": round(chi2_p, 4),
-        "hi_fraction_std_across_styles": round(float(hi_by_style.std()), 4),
-        "hi_fraction_std_across_dropout": round(float(hi_by_drop.std()), 4),
-        "per_style_hi_counts": hi_per_style.tolist(),
-        "level_grid": np.round(levels, 3).tolist(),
+        **attribution_grid_stats(levels, midpoint),
         "anchors": anchors,
         "device": str(jax.devices()[0]),
     }

@@ -91,3 +91,86 @@ def test_texture_corpus_instrument(tmp_path):
              mel.shape[1]) for mel, _ in real]
     flat_stats = texture_stats(flat, channels)
     assert flat_stats["temporal_std"] < 0.05 * real_stats["temporal_std"]
+
+
+def test_attribution_grid_stats_separates_latent_from_dropout():
+    """The shared grid statistic (mode_attribution.py + composed study)
+    must call a latent-driven grid identified (overdispersed per-style
+    counts, tiny chi^2 p) and a dropout-driven binomial grid unidentified."""
+    from gantron_tpu.eval.mode_study import attribution_grid_stats
+
+    rng = np.random.RandomState(0)
+    N, M = 16, 8
+    # Latent-driven: each style commits to one mode across all dropout keys.
+    style_mode = rng.rand(N) < 0.5
+    latent_levels = np.where(style_mode[:, None], -3.0, -9.0) \
+        + rng.randn(N, M) * 0.3
+    ident = attribution_grid_stats(latent_levels, midpoint=-6.0)
+    assert ident["within_noise_consistency"] > 0.95
+    assert ident["per_style_chi2_p"] < 0.01
+    assert 0.2 < ident["grid_frac_hi"] < 0.8
+
+    # Dropout-driven: every cell an independent coin — binomial null.
+    coin_levels = np.where(rng.rand(N, M) < 0.5, -3.0, -9.0) \
+        + rng.randn(N, M) * 0.3
+    null = attribution_grid_stats(coin_levels, midpoint=-6.0)
+    assert null["per_style_chi2_p"] > 0.05
+    assert null["within_noise_consistency"] < 0.85
+
+    # Fully collapsed grid: degenerate, never a false identification.
+    collapsed = attribution_grid_stats(np.full((N, M), -9.0), midpoint=-6.0)
+    assert collapsed["per_style_chi2_p"] == 1.0
+    assert collapsed["consistency_chance_floor"] == 1.0
+
+
+def test_composed_corpus_bands_separate_and_dont_interfere(tmp_path):
+    """The composed corpus carries BOTH hidden factors; its instrument is
+    sound only if (a) the mode bit separates cleanly on the MODE band,
+    (b) the per-frame texture spread is large on the TEXTURE band in BOTH
+    modes, and (c) the factors don't leak across bands: the mode bit must
+    not move the texture-band level, and per-frame texture must not blur
+    the mode separation."""
+    from gantron_tpu.data.toy import (MODEBAND_SCORE, TEXBAND_SCORE,
+                                      build_composed_corpus)
+    from gantron_tpu.eval.mode_study import band_channels, texture_stats
+
+    root = str(tmp_path)
+    wav_dir, train_list, val_list, modes = build_composed_corpus(
+        root, n_utts=14, n_train=14)
+    assert set(modes.values()) == {0, 1}
+
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    mode_ch = band_channels(hp, *MODEBAND_SCORE)
+    tex_ch = band_channels(hp, TEXBAND_SCORE)
+    assert mode_ch.size >= 4 and tex_ch.size >= 8
+    assert set(mode_ch).isdisjoint(set(tex_ch))
+
+    mode_levels = {0: [], 1: []}
+    tex_levels = {0: [], 1: []}
+    tex_mels = {0: [], 1: []}
+    for name, mode in modes.items():
+        mel = np.asarray(ds.get_mel(os.path.join(wav_dir, name)))
+        mode_levels[mode].append(hiband_level(mel, mode_ch))
+        tex_levels[mode].append(hiband_level(mel, tex_ch))
+        tex_mels[mode].append((mel, mel.shape[1]))
+
+    # (a) mode separation on the mode band, well beyond the within-mode
+    # spread (same bar as the bimodal corpus test).
+    anchors = mode_anchor_levels(mode_levels)
+    assert anchors["mode_hi"] - anchors["mode_lo"] > 2.0
+    assert anchors["halfgap"] > 3 * max(anchors["spread_lo"],
+                                        anchors["spread_hi"])
+
+    # (b) texture spread present in both modes.
+    for mode in (0, 1):
+        assert texture_stats(tex_mels[mode],
+                             tex_ch)["temporal_std"] > 0.3
+
+    # (c) no cross-band leakage: the mode bit moves the texture band by far
+    # less than it moves its own band.
+    tex_shift = abs(np.mean(tex_levels[1]) - np.mean(tex_levels[0]))
+    assert tex_shift < 0.25 * (anchors["mode_hi"] - anchors["mode_lo"])
