@@ -171,12 +171,7 @@ def synth_bimodal_utterance(text: str, mode: int, rng) -> np.ndarray:
         # Band-limit white noise to >= HIBAND_LO_HZ with an FFT brickwall:
         # exact, dependency-free, and well above every char tone
         # (max char fundamental ~1.9 kHz, 2nd harmonic ~3.8 kHz).
-        noise = rng.randn(wav.size).astype(np.float32)
-        spec = np.fft.rfft(noise)
-        freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
-        spec[freqs < HIBAND_LO_HZ] = 0
-        noise = np.fft.irfft(spec, n=wav.size).astype(np.float32)
-        noise /= max(np.std(noise), 1e-6)
+        noise = _bandlimited_noise(wav.size, HIBAND_LO_HZ, None, rng)
         envelope = np.abs(wav) + 0.05
         wav = wav + HIBAND_AMP * noise * envelope
     return wav.astype(np.float32)
@@ -235,12 +230,7 @@ def synth_texture_utterance(text: str, rng) -> np.ndarray:
     """Tone-language utterance + >=5 kHz noise whose amplitude is redrawn
     uniformly at every ``TEXTURE_HOP``-sample block."""
     wav = synth_utterance(text, rng)
-    noise = rng.randn(wav.size).astype(np.float32)
-    spec = np.fft.rfft(noise)
-    freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
-    spec[freqs < HIBAND_LO_HZ] = 0
-    noise = np.fft.irfft(spec, n=wav.size).astype(np.float32)
-    noise /= max(np.std(noise), 1e-6)
+    noise = _bandlimited_noise(wav.size, HIBAND_LO_HZ, None, rng)
     n_frames = (wav.size + TEXTURE_HOP - 1) // TEXTURE_HOP
     amps = rng.rand(n_frames).astype(np.float32)  # i.i.d. per frame
     amp_per_sample = np.repeat(amps, TEXTURE_HOP)[: wav.size]
@@ -283,8 +273,8 @@ def build_texture_corpus(root: str, n_utts: int = 200, n_train: int = None,
 #     [4.0, 4.8] kHz — 6 mel channels centered 4008-4856 Hz.
 #   * per-frame texture (always on): i.i.d. per-block amplitude noise
 #     >= 5.4 kHz — scored on the 10 mel channels centered >= 5449 Hz.
-# One buffer channel (center 5046-5244 Hz) separates the bands, so the
-# 4.8 kHz marker's triangle (ends ~5244 Hz) never reaches the texture
+# Two buffer channels (centers 5046 and 5244 Hz) separate the bands, so
+# the 4.8 kHz marker's triangle (ends ~5244 Hz) never reaches the texture
 # scoring band and vice versa.
 
 MODEBAND_LO_HZ = 4000.0
@@ -295,12 +285,18 @@ MODEBAND_SCORE = (3900.0, 4900.0)
 TEXBAND_SCORE = 5300.0
 
 
-def _bandlimited_noise(n: int, lo_hz: float, hi_hz: float, rng) -> np.ndarray:
-    """Unit-std FFT-brickwall noise restricted to [lo_hz, hi_hz)."""
+def _bandlimited_noise(n: int, lo_hz: float, hi_hz, rng) -> np.ndarray:
+    """Unit-std FFT-brickwall noise restricted to [lo_hz, hi_hz)
+    (``hi_hz=None`` = no upper cut, keeping even the Nyquist bin — the
+    bimodal/texture corpora were generated that way and their committed
+    study artifacts must stay byte-reproducible)."""
     noise = rng.randn(n).astype(np.float32)
     spec = np.fft.rfft(noise)
     freqs = np.fft.rfftfreq(n, 1.0 / SR)
-    spec[(freqs < lo_hz) | (freqs >= hi_hz)] = 0
+    keep_out = freqs < lo_hz
+    if hi_hz is not None:
+        keep_out |= freqs >= hi_hz
+    spec[keep_out] = 0
     noise = np.fft.irfft(spec, n=n).astype(np.float32)
     return noise / max(np.std(noise), 1e-6)
 
