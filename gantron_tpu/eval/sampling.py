@@ -165,6 +165,45 @@ def coded_style(key, n_samples, noise_size, code, code_dims=1,
     return style.at[:, 0, :code_dims].set(grid)
 
 
+def attribution_level_grid(model, variables, hp, input_sequence, channels,
+                           n_styles, n_dropout, seed=0,
+                           max_decoder_steps=None):
+    """(N styles) x (M dropout keys) grid of scalar band levels of one text.
+
+    The decode half of the noise-vs-dropout attribution instrument
+    (eval.mode_study.attribution_grid_stats scores the grid): each cell is
+    one free-running decode with style i injected deterministically (the
+    latent axis) and dropout key j (the nuisance axis). ONE definition of
+    the key schedule shared by scripts/mode_attribution.py and
+    scripts/gan_composed_study.py so the two studies can never silently
+    score differently-constructed grids. Returns a (N, M) float array.
+    """
+    from gantron_tpu.eval.mode_study import hiband_level
+
+    N, M = n_styles, n_dropout
+    max_steps = max_decoder_steps or hp.max_decoder_steps
+    text_batch = jnp.broadcast_to(jnp.asarray(input_sequence),
+                                  (N, input_sequence.shape[1]))
+    key = jax.random.PRNGKey(100 + seed)
+    k_style, k_drop = jax.random.split(key)
+    # One style row per latent draw, identical across the M calls.
+    styles = jax.random.uniform(k_style, (N, 1, hp.noise_size))
+    infer = jax.jit(lambda v, text, style, kd, kn: model.apply(
+        v, text, style, None, None, max_steps,
+        method=model.infer, rngs={"dropout": kd, "noise": kn}))
+    levels = np.zeros((N, M))
+    for j in range(M):
+        kd = jax.random.fold_in(k_drop, j)
+        out = infer(variables, text_batch, styles, kd,
+                    jax.random.fold_in(kd, 999))  # noise rng unused w/ style
+        mels = np.asarray(out[1])
+        lens = np.asarray(out[4])
+        for i in range(N):
+            m = mels[i, :, : max(int(lens[i]), 2)]
+            levels[i, j] = hiband_level(m, channels)
+    return levels
+
+
 def random_style(model, variables, input_sequence, noise_size, n_samples,
                  use_labels=False, speaker=None, key=None,
                  max_decoder_steps=500):

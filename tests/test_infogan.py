@@ -238,6 +238,37 @@ def test_coded_style_drives_infer(setup):
     assert not np.array_equal(np.asarray(out_lo[1]), np.asarray(out_hi[1]))
 
 
+def test_attribution_level_grid_shape_and_axes(setup):
+    """The shared attribution decode grid (one key-schedule definition for
+    mode_attribution.py AND gan_composed_study.py): deterministic for a
+    seed, style-axis rows differ (the latent axis is live), and the level
+    scalar responds to the requested channel band."""
+    from gantron_tpu.eval.sampling import attribution_level_grid
+
+    hp, batch, state, gen, disc, g_tx, d_tx, g_step = setup
+    variables = {"params": state.g_params, "batch_stats": state.g_batch_stats}
+    seq = np.asarray(batch.text[:1])
+    channels = np.arange(hp.n_mel_channels // 2)
+
+    grid = attribution_level_grid(gen, variables, hp, seq, channels,
+                                  n_styles=3, n_dropout=2, seed=0,
+                                  max_decoder_steps=12)
+    grid2 = attribution_level_grid(gen, variables, hp, seq, channels,
+                                   n_styles=3, n_dropout=2, seed=0,
+                                   max_decoder_steps=12)
+    assert grid.shape == (3, 2)
+    assert np.array_equal(grid, grid2)
+    assert np.isfinite(grid).all()
+    # Different styles decode differently through an untrained net too.
+    assert not np.allclose(grid[0], grid[1])
+    # A different band reads a different level off the same decodes.
+    other = attribution_level_grid(
+        gen, variables, hp, seq,
+        np.arange(hp.n_mel_channels // 2, hp.n_mel_channels),
+        n_styles=3, n_dropout=2, seed=0, max_decoder_steps=12)
+    assert not np.allclose(grid, other)
+
+
 def test_single_level_code_rejected():
     from gantron_tpu.models import Tacotron2, make_discriminator
 
