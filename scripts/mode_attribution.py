@@ -95,12 +95,11 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
-
     from _study_common import small_model_params
     from gan_mode_study import VARIANTS
     from gantron_tpu.config import HParams
-    from gantron_tpu.eval.mode_study import hiband_channels, hiband_level
+    from gantron_tpu.eval.mode_study import hiband_channels
+    from gantron_tpu.eval.sampling import attribution_level_grid
     from gantron_tpu.text import text_to_sequence
     from gantron_tpu.train.checkpoint import CheckpointManager
     from gantron_tpu.utils.loading import load_generator
@@ -143,28 +142,9 @@ def main():
 
     seq = np.asarray(
         text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)[None]
-    N, M = args.n_styles, args.n_dropout
-    text_batch = jnp.broadcast_to(jnp.asarray(seq), (N, seq.shape[1]))
-
-    key = jax.random.PRNGKey(100 + args.seed)
-    k_style, k_drop = jax.random.split(key)
-    # One style row per latent draw, identical across the M calls.
-    styles = jax.random.uniform(k_style, (N, 1, hp.noise_size))
-
-    infer = jax.jit(lambda v, text, style, kd, kn: model.apply(
-        v, text, style, None, None, hp.max_decoder_steps,
-        method=model.infer, rngs={"dropout": kd, "noise": kn}))
-
-    levels = np.zeros((N, M))
-    for j in range(M):
-        kd = jax.random.fold_in(k_drop, j)
-        out = infer(variables, text_batch, styles, kd,
-                    jax.random.fold_in(kd, 999))  # noise rng unused w/ style
-        mels = np.asarray(out[1])
-        lens = np.asarray(out[4])
-        for i in range(N):
-            m = mels[i, :, : max(int(lens[i]), 2)]
-            levels[i, j] = hiband_level(m, channels)
+    levels = attribution_level_grid(
+        model, variables, hp, seq, channels,
+        n_styles=args.n_styles, n_dropout=args.n_dropout, seed=args.seed)
 
     from gantron_tpu.eval.mode_study import attribution_grid_stats
 
