@@ -322,6 +322,24 @@ class HParams:
     # schedule is host-side (a traced 0/1 scale, like attn_steps): no
     # recompile at the boundary. 0 disables (identification on from step 0).
     identification_warmup: int = 0
+    # Collapse-rescue controller: the round-4 campaign's one failure mode is
+    # a seed collapsing to a single output (docs/TRAINING_EVIDENCE.md — and
+    # val-mel keep-best retention is measurably blind to it). The
+    # ``validation_sample_diversity`` probe DETECTS it live; this controller
+    # RESPONDS: whenever the probe's pairwise spread falls below
+    # ``diversity_rescue_floor``, the identification/diversity scale
+    # (train.loop ident_scale — already a traced scalar, so no recompile)
+    # is multiplied by ``diversity_rescue_gain`` (capped at
+    # ``diversity_rescue_max``); while healthy it decays back toward 1.
+    # Escalating the SATURATING diversity reward (diversity_cap) is safe
+    # against the measured watermark failure: past the cap extra spread
+    # earns nothing, so boosted pressure pays only until decodes differ on
+    # the manifold again. 0 disables. Requires the probe
+    # (validation_sample_diversity >= 2) and the identification terms
+    # (adversarial_rollouts + diversity_weight/style_reconstruction_weight).
+    diversity_rescue_floor: float = 0.0
+    diversity_rescue_gain: float = 2.0
+    diversity_rescue_max: float = 8.0
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -215,6 +215,24 @@ def _save_validation_media(last, iteration, media_dir, hp, logger=None,
                          sample_rate=hp.sampling_rate)
 
 
+def update_rescue_scale(scale: float, diversity: float, hp) -> float:
+    """Collapse-rescue controller step (config.py diversity_rescue_floor).
+
+    Pure host-side feedback on the measured free-running sample diversity:
+    below the floor the identification/diversity scale escalates by
+    ``diversity_rescue_gain`` (capped at ``diversity_rescue_max``); at or
+    above it the scale decays back toward 1 at the same rate. Disabled
+    (always 1.0) when the floor is unset."""
+    floor = float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0)
+    if floor <= 0:
+        return 1.0
+    gain = max(float(getattr(hp, "diversity_rescue_gain", 2.0)), 1.0 + 1e-9)
+    cap = max(float(getattr(hp, "diversity_rescue_max", 8.0)), 1.0)
+    if diversity < floor:
+        return min(scale * gain, cap)
+    return max(scale / gain, 1.0)
+
+
 def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
           bool, hp, wavs_path: str, logger: Optional[MetricLogger] = None,
           real: float = 1.0, max_seconds: Optional[float] = None,
@@ -229,6 +247,23 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     if not chief:
         logger = MetricLogger(None, quiet=True)
     logger = logger or MetricLogger(output_directory)
+    if float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0:
+        # Fail fast: the collapse-rescue controller is a silent no-op
+        # without its sensor (the single-process diversity probe) or its
+        # actuator (the identification terms ident_scale multiplies).
+        if (getattr(hp, "validation_sample_diversity", 0) or 0) < 2 \
+                or jax.process_count() > 1:
+            raise ValueError(
+                "diversity_rescue_floor > 0 requires the collapse detector: "
+                "set validation_sample_diversity >= 2 (the probe is "
+                "single-process only)")
+        if not (float(getattr(hp, "diversity_weight", 0.0)) > 0
+                or float(getattr(hp, "style_reconstruction_weight",
+                                 0.0)) > 0):
+            raise ValueError(
+                "diversity_rescue_floor > 0 requires diversity_weight > 0 "
+                "or style_reconstruction_weight > 0: the rescue scale "
+                "multiplies exactly those loss terms")
     mesh = make_mesh(hp.mesh_shape)
     if jax.process_count() > 1 and hp.batch_size % mesh.size != 0:
         # Single-process jit tolerates uneven data sharding (XLA pads);
@@ -284,6 +319,8 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     text, jax.random.fold_in(k, 0), jax.random.fold_in(k, 1))
                 return pairwise_sample_distance(
                     np.asarray(out[1]), np.asarray(out[4]))
+
+    rescue_scale = 1.0
 
     ckpt = CheckpointManager(output_directory)
     iteration = 0
@@ -369,9 +406,14 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                             if chief else None,
                             vocoder=vocoder)
         if diversity_probe is not None:
-            logger.log_values(iteration,
-                              sample_diversity=diversity_probe(state,
-                                                               iteration))
+            nonlocal rescue_scale
+            diversity = diversity_probe(state, iteration)
+            rescue_scale = update_rescue_scale(rescue_scale, diversity, hp)
+            extra_vals = {}
+            if float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0:
+                extra_vals["identification_rescue_scale"] = rescue_scale
+            logger.log_values(iteration, sample_diversity=diversity,
+                              **extra_vals)
         if chief:
             path = ckpt.save(jax.device_get(state), iteration, val_loss,
                              extra={"g_lr": g_lr, "d_lr": d_lr})
@@ -427,9 +469,11 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 # Identification warm-up (config.py identification_warmup):
                 # hold the InfoGAN terms at 0 until D has anchored the
                 # manifold; a traced scalar like attn_w, so flipping it at
-                # the boundary recompiles nothing.
+                # the boundary recompiles nothing. Past warm-up the scale is
+                # the collapse-rescue controller's (1.0 unless
+                # diversity_rescue_floor is set and the probe trips).
                 ident_w = 0.0 if iteration < int(getattr(
-                    hp, "identification_warmup", 0)) else 1.0
+                    hp, "identification_warmup", 0)) else rescue_scale
                 state, metrics, fake_pair = g_step(state, sharded,
                                                    jnp.float32(g_lr),
                                                    jnp.float32(attn_w),

@@ -57,6 +57,62 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
     assert divs and all(np.isfinite(d) and d > 0 for d in divs)
 
 
+def test_update_rescue_scale_controller():
+    """Pure controller law: escalate below the floor (capped), decay back
+    toward 1 above it, identity when disabled."""
+    from gantron_tpu.train.loop import update_rescue_scale
+
+    hp = tiny_hp(diversity_rescue_floor=0.5, diversity_rescue_gain=2.0,
+                 diversity_rescue_max=8.0)
+    s = 1.0
+    for expected in (2.0, 4.0, 8.0, 8.0):  # escalates, then caps
+        s = update_rescue_scale(s, 0.1, hp)
+        assert s == expected
+    s = update_rescue_scale(s, 0.9, hp)  # healthy -> decay
+    assert s == 4.0
+    for _ in range(5):
+        s = update_rescue_scale(s, 0.9, hp)
+    assert s == 1.0  # never below 1
+
+    hp_off = tiny_hp()  # floor unset -> always 1.0
+    assert update_rescue_scale(5.0, 0.0, hp_off) == 1.0
+
+
+def test_rescue_requires_probe_and_terms(tmp_path):
+    import pytest
+
+    # No detector configured.
+    hp = tiny_hp(diversity_rescue_floor=0.5)
+    with pytest.raises(ValueError, match="validation_sample_diversity"):
+        train(str(tmp_path / "a"), None, False, hp, "synthetic",
+              logger=MetricLogger(None, quiet=True))
+    # Detector on, but nothing for the rescue scale to multiply.
+    hp = tiny_hp(diversity_rescue_floor=0.5, validation_sample_diversity=3)
+    with pytest.raises(ValueError, match="diversity_weight"):
+        train(str(tmp_path / "b"), None, False, hp, "synthetic",
+              logger=MetricLogger(None, quiet=True))
+
+
+def test_rescue_escalates_and_logs(tmp_path):
+    """With an impossibly high floor every validation trips the controller:
+    the logged identification_rescue_scale must escalate by the gain."""
+    hp = tiny_hp(validation_sample_diversity=3,
+                 diversity_rescue_floor=1e9, diversity_rescue_gain=3.0,
+                 diversity_rescue_max=4.5,
+                 adversarial_rollouts=True, diversity_weight=0.5,
+                 diversity_cap=0.9,
+                 iterations=20, iters_per_checkpoint=5)
+    out_dir = str(tmp_path / "run")
+    logger = MetricLogger(out_dir, run_name="test")
+    train(out_dir, None, False, hp, "synthetic", logger=logger)
+    records = [json.loads(l)
+               for l in open(os.path.join(out_dir, "test.metrics.jsonl"))]
+    scales = [r["Identification rescue scale"] for r in records
+              if "Identification rescue scale" in r]
+    # 4 validations: 3.0, then capped at 4.5.
+    assert scales == [3.0, 4.5, 4.5, 4.5]
+
+
 def test_resume_from_checkpoint(tmp_path):
     hp = tiny_hp(iterations=6, iters_per_checkpoint=6)
     out_dir = str(tmp_path / "run")
