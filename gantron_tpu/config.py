@@ -323,21 +323,35 @@ class HParams:
     # recompile at the boundary. 0 disables (identification on from step 0).
     identification_warmup: int = 0
     # Collapse-rescue controller: the round-4 campaign's one failure mode is
-    # a seed collapsing to a single output (docs/TRAINING_EVIDENCE.md — and
-    # val-mel keep-best retention is measurably blind to it). The
-    # ``validation_sample_diversity`` probe DETECTS it live; this controller
-    # RESPONDS: whenever the probe's pairwise spread falls below
-    # ``diversity_rescue_floor``, the identification/diversity scale
-    # (train.loop ident_scale — already a traced scalar, so no recompile)
-    # is multiplied by ``diversity_rescue_gain`` (capped at
-    # ``diversity_rescue_max``); while healthy it decays back toward 1.
-    # Escalating the SATURATING diversity reward (diversity_cap) is safe
-    # against the measured watermark failure: past the cap extra spread
-    # earns nothing, so boosted pressure pays only until decodes differ on
-    # the manifold again. 0 disables. Requires the probe
-    # (validation_sample_diversity >= 2) and the identification terms
-    # (adversarial_rollouts + diversity_weight/style_reconstruction_weight).
+    # a seed collapsing to one MODE — the code stops selecting modes
+    # (attribution chi^2 = 0) while teacher-forced val mel AND free-running
+    # spread both stay healthy (both measured blind to it: keep-best probe +
+    # the rescue calibration, docs/TRAINING_EVIDENCE.md). The live sensor
+    # is the scale-free LATENT-SEPARATION RATIO
+    # (eval.sampling.code_separation_ratio): decode a (code levels x
+    # nuisance draws) grid of one validation text per validation and take
+    # between-code / within-code output distance. Calibration on 11 real
+    # checkpoints (scripts/calibrate_rescue_floor.py) measured that under
+    # identification pressure collapse presents as the ratio INFLATING
+    # (the Q loss keeps the code decodable, so its effect migrates to an
+    # off-manifold channel with outsized L1: collapsed 9.1-18.2 vs healthy
+    # 2.1-7.6), never as the naive ratio~1 latent-death signature — that
+    # only shows in non-identification configs (nogan 0.94). Hence TWO
+    # bounds on the ratio, each 0-disabled:
+    # - below ``diversity_rescue_floor`` (cold-start saddle, code
+    #   output-invisible): the identification/diversity scale (train.loop
+    #   ident_scale — a traced scalar, so no recompile) is multiplied by
+    #   ``diversity_rescue_gain`` (capped at ``diversity_rescue_max``);
+    # - above ``diversity_rescue_ceiling`` (off-manifold inflation / mode
+    #   collapse): divided by the gain (floored at 1/max) — attenuating
+    #   the pressure that feeds the inflation;
+    # - healthy band: decay back toward 1 from either side.
+    # Calibrated ceiling for the composed-study config: 8.3 (geometric mid
+    # of the bands). Requires the probe (validation_sample_diversity >= 2)
+    # and the identification terms (adversarial_rollouts +
+    # diversity_weight/style_reconstruction_weight).
     diversity_rescue_floor: float = 0.0
+    diversity_rescue_ceiling: float = 0.0
     diversity_rescue_gain: float = 2.0
     diversity_rescue_max: float = 8.0
 

@@ -249,3 +249,130 @@ def pairwise_sample_distance(mels, lengths):
             d = np.abs(mels[i, :, :pair_len] - mels[j, :, :pair_len])
             dists.append(d.sum() / (n_mels * pair_len))
     return float(np.mean(dists)) if dists else 0.0
+
+
+def _masked_l1(mels, lengths, i, j):
+    """Masked per-frame L1 between grid rows i and j (the
+    pairwise_sample_distance pair metric)."""
+    n_mels = mels.shape[1]
+    pair_len = int(max(lengths[i], lengths[j], 1))
+    d = np.abs(mels[i, :, :pair_len] - mels[j, :, :pair_len])
+    return float(d.sum() / (n_mels * pair_len))
+
+
+def code_separation_ratio(mels, lengths, n_levels, n_draws):
+    """Latent-collapse sensor: between-code / within-code distance ratio.
+
+    Input is a LEVEL-MAJOR decode grid of one text — row ``l * n_draws + s``
+    is latent level ``l`` under nuisance draw ``s`` (styles from
+    ``separation_grid_styles``, so same-draw rows share their nuisance
+    dims). Two pair populations:
+
+    - BETWEEN: same draw, different level — rows differing ONLY in the
+      identifiable latent (plus dropout).
+    - WITHIN: same level, different draw — rows differing in nuisance
+      noise and dropout but NOT the latent.
+
+    Healthy identification: the latent moves the output more than nuisance
+    does -> ratio > 1. Latent collapse: the code is ignored, so same-draw
+    cross-level pairs differ by dropout alone -> ratio <= ~1. The ratio is
+    scale-free, which is what the round-4 calibration showed the raw spread
+    is not: collapsed checkpoints keep healthy-looking free-running spread
+    because prenet dropout supplies diversity the latent no longer does
+    (docs/evidence_r4, rescue_floor_calibration.json: collapsed spreads
+    0.62-0.81 INSIDE the healthy band 0.72-1.64, while this ratio separates
+    0.0-chi^2 arms from >100-chi^2 arms cleanly).
+
+    mels: (n_levels * n_draws, n_mel, T); lengths: matching emitted counts.
+    """
+    mels = np.asarray(mels, np.float32)
+    lengths = np.asarray(lengths)
+    between, within = [], []
+    for l in range(n_levels):
+        for s in range(n_draws):
+            i = l * n_draws + s
+            for l2 in range(l + 1, n_levels):
+                between.append(_masked_l1(mels, lengths, i,
+                                          l2 * n_draws + s))
+            for s2 in range(s + 1, n_draws):
+                within.append(_masked_l1(mels, lengths, i,
+                                         l * n_draws + s2))
+    b = float(np.mean(between)) if between else 0.0
+    w = float(np.mean(within)) if within else 0.0
+    return b / max(w, 1e-8)
+
+
+def separation_grid_styles(hp, n_levels, n_draws, key):
+    """Level-major (n_levels * n_draws, 1, noise_size) style grid for the
+    latent-separation probe — ONE construction shared by the in-loop
+    collapse-rescue sensor (train/loop.py) and the offline calibration
+    (scripts/calibrate_rescue_floor.py), so the floor is always calibrated
+    on the exact statistic the controller consumes.
+
+    Discrete-code configs (style_code_dims > 0): nuisance dims are drawn
+    once per draw and SHARED across levels; the code dims sweep the
+    training grid ``(l + 0.5) / style_code_levels`` (step.py _draw_code).
+    Continuous configs: each level is one full random style vector shared
+    across draws (within-level variation is dropout only).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    L, S = n_levels, n_draws
+    code_dims = int(getattr(hp, "style_code_dims", 0) or 0)
+    code_levels = int(getattr(hp, "style_code_levels", 0) or 0)
+    if code_dims > 0 and code_levels >= 2:
+        nuis = jax.random.uniform(key, (S, 1, hp.noise_size))
+        style = jnp.tile(nuis, (L, 1, 1))  # level-major
+        # L may be capped below code_levels; spread the probed levels over
+        # the trained range.
+        lvls = np.round(np.linspace(0, code_levels - 1, L)).astype(np.int32)
+        grid = jnp.repeat((jnp.asarray(lvls, jnp.float32) + 0.5)
+                          / code_levels, S)
+        style = style.at[:, 0, :code_dims].set(
+            jnp.broadcast_to(grid[:, None], (L * S, code_dims)))
+        return style
+    per_level = jax.random.uniform(key, (L, 1, hp.noise_size))
+    return jnp.repeat(per_level, S, axis=0)
+
+
+def probe_grid_shape(hp):
+    """(n_levels, n_draws) for the latent-separation probe, sized so the
+    grid costs about the same as the ``validation_sample_diversity``-row
+    spread probe it extends."""
+    M = max(int(getattr(hp, "validation_sample_diversity", 0) or 0), 4)
+    code_levels = int(getattr(hp, "style_code_levels", 0) or 0)
+    if int(getattr(hp, "style_code_dims", 0) or 0) > 0 and code_levels >= 2:
+        L = min(code_levels, 4)
+    else:
+        L = 2
+    return L, max(M // L, 2)
+
+
+def latent_separation(model, variables, hp, text, key, infer_fn=None):
+    """Decode the separation grid of one text and return
+    ``(separation_ratio, spread)``.
+
+    ``text``: (1, T) int32 ids. ``infer_fn``: optional pre-jitted
+    ``f(variables, text_batch, style, k_dropout, k_noise)`` matching
+    ``Tacotron2.infer`` (train/loop.py passes its cached closure; offline
+    callers omit it). ``spread`` is pairwise_sample_distance over ALL grid
+    rows — the free-running diversity statistic, logged alongside.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    L, S = probe_grid_shape(hp)
+    k_style, k_run = jax.random.split(key)
+    style = separation_grid_styles(hp, L, S, k_style)
+    text_batch = jnp.broadcast_to(jnp.asarray(text, jnp.int32),
+                                  (L * S, text.shape[1]))
+    if infer_fn is None:
+        infer_fn = jax.jit(lambda v, t, st, kd, kn: model.apply(
+            v, t, st, None, None, hp.max_decoder_steps,
+            method=model.infer, rngs={"dropout": kd, "noise": kn}))
+    out = infer_fn(variables, text_batch, style,
+                   jax.random.fold_in(k_run, 0), jax.random.fold_in(k_run, 1))
+    mels, lengths = np.asarray(out[1]), np.asarray(out[4])
+    ratio = code_separation_ratio(mels, lengths, L, S)
+    return ratio, pairwise_sample_distance(mels, lengths)

@@ -215,22 +215,51 @@ def _save_validation_media(last, iteration, media_dir, hp, logger=None,
                          sample_rate=hp.sampling_rate)
 
 
-def update_rescue_scale(scale: float, diversity: float, hp) -> float:
-    """Collapse-rescue controller step (config.py diversity_rescue_floor).
+def update_rescue_scale(scale: float, sensor: float, hp) -> float:
+    """Collapse-rescue controller step (config.py diversity_rescue_*).
 
-    Pure host-side feedback on the measured free-running sample diversity:
-    below the floor the identification/diversity scale escalates by
-    ``diversity_rescue_gain`` (capped at ``diversity_rescue_max``); at or
-    above it the scale decays back toward 1 at the same rate. Disabled
-    (always 1.0) when the floor is unset."""
+    Two-sided pure host-side feedback on the measured latent-separation
+    ratio (eval.sampling.code_separation_ratio — between-code /
+    within-code output distance on a decode grid):
+
+    - sensor < ``diversity_rescue_floor``: the latent never took off
+      (ratio ~1 = the code is output-invisible; the cold-start saddle) —
+      ESCALATE identification pressure by ``diversity_rescue_gain``,
+      capped at ``diversity_rescue_max``.
+    - sensor > ``diversity_rescue_ceiling``: the code's output effect has
+      inflated past what on-manifold mode selection produces — ATTENUATE
+      by the gain, floored at 1/``diversity_rescue_max``.
+    - healthy band: decay back toward 1 from either side.
+
+    Either bound may be 0 (= that side disabled); both 0 disables the
+    controller (always 1.0).
+
+    Why a CEILING detects mode collapse (measured, not assumed —
+    scripts/calibrate_rescue_floor.py on 11 composed-study + bimodal
+    checkpoints): two prior sensor designs were falsified on real
+    collapsed checkpoints. (1) Raw free-running spread is blind — prenet
+    dropout keeps spread healthy (collapsed 0.62-0.81 inside the healthy
+    band 0.72-1.64) while attribution chi^2 is exactly 0. (2) A LOW
+    separation ratio never happens under identification either: the Q
+    loss guarantees the code stays decodable from the output, so every
+    measured collapse presents as the code controlling an off-manifold
+    channel with INFLATED L1 effect (ratio 9.1-18.2) while healthy
+    mode-selection stays bounded by real inter-mode distances (2.1-7.6).
+    Escalating identification pressure on such a run feeds the
+    inflation; attenuation is the corrective."""
     floor = float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0)
-    if floor <= 0:
+    ceiling = float(getattr(hp, "diversity_rescue_ceiling", 0.0) or 0.0)
+    if floor <= 0 and ceiling <= 0:
         return 1.0
     gain = max(float(getattr(hp, "diversity_rescue_gain", 2.0)), 1.0 + 1e-9)
     cap = max(float(getattr(hp, "diversity_rescue_max", 8.0)), 1.0)
-    if diversity < floor:
+    if floor > 0 and sensor < floor:
         return min(scale * gain, cap)
-    return max(scale / gain, 1.0)
+    if ceiling > 0 and sensor > ceiling:
+        return max(scale / gain, 1.0 / cap)
+    if scale > 1.0:
+        return max(scale / gain, 1.0)
+    return min(scale * gain, 1.0)
 
 
 def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
@@ -247,23 +276,25 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
     if not chief:
         logger = MetricLogger(None, quiet=True)
     logger = logger or MetricLogger(output_directory)
-    if float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0:
+    if (float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0
+            or float(getattr(hp, "diversity_rescue_ceiling", 0.0) or 0.0)
+            > 0):
         # Fail fast: the collapse-rescue controller is a silent no-op
         # without its sensor (the single-process diversity probe) or its
         # actuator (the identification terms ident_scale multiplies).
         if (getattr(hp, "validation_sample_diversity", 0) or 0) < 2 \
                 or jax.process_count() > 1:
             raise ValueError(
-                "diversity_rescue_floor > 0 requires the collapse detector: "
-                "set validation_sample_diversity >= 2 (the probe is "
-                "single-process only)")
+                "diversity_rescue_floor/ceiling > 0 requires the collapse "
+                "detector: set validation_sample_diversity >= 2 (the probe "
+                "is single-process only)")
         if not (float(getattr(hp, "diversity_weight", 0.0)) > 0
                 or float(getattr(hp, "style_reconstruction_weight",
                                  0.0)) > 0):
             raise ValueError(
-                "diversity_rescue_floor > 0 requires diversity_weight > 0 "
-                "or style_reconstruction_weight > 0: the rescue scale "
-                "multiplies exactly those loss terms")
+                "diversity_rescue_floor/ceiling > 0 requires "
+                "diversity_weight > 0 or style_reconstruction_weight > 0: "
+                "the rescue scale multiplies exactly those loss terms")
     mesh = make_mesh(hp.mesh_shape)
     if jax.process_count() > 1 and hp.batch_size % mesh.size != 0:
         # Single-process jit tolerates uneven data sharding (XLA pads);
@@ -303,22 +334,38 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
             _t_len = max(int(np.asarray(_probe_batch.text_lengths)[0]), 1)
             _probe_text = jnp.asarray(
                 np.asarray(_probe_batch.text)[:1, :_t_len], jnp.int32)
-            _probe_infer = jax.jit(lambda v, text, kd, kn: generator.apply(
-                v, text, None, None, None, hp.max_decoder_steps,
+            _probe_infer = jax.jit(lambda v, text, style, kd, kn:
+                                   generator.apply(
+                v, text, style, None, None, hp.max_decoder_steps,
                 method=generator.infer, rngs={"dropout": kd, "noise": kn}))
+            _use_separation = (
+                float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0
+                or float(getattr(hp, "diversity_rescue_ceiling", 0.0)
+                         or 0.0) > 0)
 
             def diversity_probe(st, it):
+                """Returns (spread, separation_ratio | None)."""
                 from gantron_tpu.eval.sampling import (
-                    pairwise_sample_distance)
+                    latent_separation, pairwise_sample_distance)
 
-                text = jnp.broadcast_to(_probe_text, (M, _probe_text.shape[1]))
                 k = jax.random.fold_in(
                     jax.random.PRNGKey(hp.seed + 17), it)
+                variables = {"params": st.g_params,
+                             "batch_stats": st.g_batch_stats}
+                if _use_separation:
+                    # One grid decode feeds both statistics: the rescue
+                    # sensor (scale-free between/within-code ratio) and the
+                    # logged free-running spread.
+                    ratio, spread = latent_separation(
+                        generator, variables, hp, _probe_text, k,
+                        infer_fn=_probe_infer)
+                    return spread, ratio
+                text = jnp.broadcast_to(_probe_text, (M, _probe_text.shape[1]))
                 out = _probe_infer(
-                    {"params": st.g_params, "batch_stats": st.g_batch_stats},
-                    text, jax.random.fold_in(k, 0), jax.random.fold_in(k, 1))
+                    variables, text, None,
+                    jax.random.fold_in(k, 0), jax.random.fold_in(k, 1))
                 return pairwise_sample_distance(
-                    np.asarray(out[1]), np.asarray(out[4]))
+                    np.asarray(out[1]), np.asarray(out[4])), None
 
     rescue_scale = 1.0
 
@@ -407,10 +454,15 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                             vocoder=vocoder)
         if diversity_probe is not None:
             nonlocal rescue_scale
-            diversity = diversity_probe(state, iteration)
-            rescue_scale = update_rescue_scale(rescue_scale, diversity, hp)
+            diversity, separation = diversity_probe(state, iteration)
             extra_vals = {}
-            if float(getattr(hp, "diversity_rescue_floor", 0.0) or 0.0) > 0:
+            if separation is not None:
+                # The controller's sensor is the separation ratio, never
+                # the raw spread (measured blind to latent collapse — see
+                # update_rescue_scale).
+                rescue_scale = update_rescue_scale(
+                    rescue_scale, separation, hp)
+                extra_vals["identification_separation"] = separation
                 extra_vals["identification_rescue_scale"] = rescue_scale
             logger.log_values(iteration, sample_diversity=diversity,
                               **extra_vals)

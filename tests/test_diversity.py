@@ -148,3 +148,74 @@ def test_requires_rollouts_and_noise():
     with pytest.raises(ValueError, match="noise"):
         make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
                          None, None)
+
+
+class _GridHP:
+    noise_size = 8
+    style_code_dims = 0
+    style_code_levels = 0
+    validation_sample_diversity = 8
+
+
+def test_code_separation_ratio_synthetic():
+    """The rescue sensor on constructed grids: codes that move the output
+    score > 1; an ignored code (nuisance-driven output, shared per draw)
+    scores < 1. Raw spread cannot make this distinction — the calibration
+    on real composed-study checkpoints measured collapsed arms' spread
+    INSIDE the healthy band (scripts/calibrate_rescue_floor.py)."""
+    from gantron_tpu.eval.sampling import code_separation_ratio
+
+    L, S, n_mel, T = 2, 4, 6, 10
+    rng = np.random.RandomState(0)
+    lengths = np.full(L * S, T)
+
+    # Healthy: output = big per-level offset + small per-draw jitter.
+    healthy = np.zeros((L * S, n_mel, T), np.float32)
+    for l in range(L):
+        for s in range(S):
+            healthy[l * S + s] = 5.0 * l + 0.1 * rng.randn(n_mel, T)
+    assert code_separation_ratio(healthy, lengths, L, S) > 3.0
+
+    # Collapsed latent: output depends ONLY on the nuisance draw (shared
+    # across levels within a draw) — same-draw cross-level pairs are near
+    # identical, within-level pairs differ by the draw.
+    collapsed = np.zeros((L * S, n_mel, T), np.float32)
+    per_draw = [5.0 * rng.randn(n_mel, T) for _ in range(S)]
+    for l in range(L):
+        for s in range(S):
+            collapsed[l * S + s] = per_draw[s] + 0.1 * rng.randn(n_mel, T)
+    assert code_separation_ratio(collapsed, lengths, L, S) < 0.5
+
+
+def test_separation_grid_styles_structure():
+    """Grid construction invariants: level-major layout; discrete-code
+    grids share nuisance dims across levels within a draw and sweep the
+    training grid (k+0.5)/L on the code dims; continuous grids repeat one
+    style per level."""
+    from gantron_tpu.eval.sampling import (probe_grid_shape,
+                                           separation_grid_styles)
+
+    hp = _GridHP()
+    L, S = probe_grid_shape(hp)
+    assert (L, S) == (2, 4)
+    style = np.asarray(separation_grid_styles(hp, L, S,
+                                              jax.random.PRNGKey(0)))
+    assert style.shape == (L * S, 1, hp.noise_size)
+    # Continuous: all draws of a level identical, levels differ.
+    for l in range(L):
+        block = style[l * S:(l + 1) * S]
+        assert np.all(block == block[0])
+    assert not np.allclose(style[0], style[S])
+
+    hp2 = _GridHP()
+    hp2.style_code_dims, hp2.style_code_levels = 2, 2
+    L2, S2 = probe_grid_shape(hp2)
+    style2 = np.asarray(separation_grid_styles(hp2, L2, S2,
+                                               jax.random.PRNGKey(0)))
+    # Code dims sweep the training grid per level.
+    assert np.allclose(style2[:S2, 0, :2], 0.25)
+    assert np.allclose(style2[S2:, 0, :2], 0.75)
+    # Nuisance dims shared across levels within a draw.
+    assert np.allclose(style2[:S2, 0, 2:], style2[S2:, 0, 2:])
+    # ... and distinct across draws.
+    assert not np.allclose(style2[0, 0, 2:], style2[1, 0, 2:])

@@ -58,8 +58,9 @@ def test_training_loop_runs_and_checkpoints(tmp_path):
 
 
 def test_update_rescue_scale_controller():
-    """Pure controller law: escalate below the floor (capped), decay back
-    toward 1 above it, identity when disabled."""
+    """Pure controller law: escalate below the floor (capped), attenuate
+    above the ceiling (floored at 1/cap), decay back toward 1 from either
+    side in the healthy band, identity when disabled."""
     from gantron_tpu.train.loop import update_rescue_scale
 
     hp = tiny_hp(diversity_rescue_floor=0.5, diversity_rescue_gain=2.0,
@@ -72,9 +73,30 @@ def test_update_rescue_scale_controller():
     assert s == 4.0
     for _ in range(5):
         s = update_rescue_scale(s, 0.9, hp)
-    assert s == 1.0  # never below 1
+    assert s == 1.0  # never below 1 without a ceiling trip
 
-    hp_off = tiny_hp()  # floor unset -> always 1.0
+    # Ceiling side: the measured collapse signature is the ratio
+    # INFLATING (off-manifold code effect) — attenuate.
+    hp2 = tiny_hp(diversity_rescue_ceiling=8.3, diversity_rescue_gain=2.0,
+                  diversity_rescue_max=8.0)
+    s = 1.0
+    for expected in (0.5, 0.25, 0.125, 0.125, 0.125):  # floors at 1/cap
+        s = update_rescue_scale(s, 15.0, hp2)
+        assert s == expected
+    s = update_rescue_scale(s, 3.0, hp2)  # healthy -> decay back up
+    assert s == 0.25
+    for _ in range(5):
+        s = update_rescue_scale(s, 3.0, hp2)
+    assert s == 1.0  # never above 1 without a floor trip
+
+    # Two-sided config: both bounds live simultaneously.
+    hp3 = tiny_hp(diversity_rescue_floor=1.5, diversity_rescue_ceiling=8.3,
+                  diversity_rescue_gain=2.0, diversity_rescue_max=8.0)
+    assert update_rescue_scale(1.0, 1.0, hp3) == 2.0
+    assert update_rescue_scale(1.0, 15.0, hp3) == 0.5
+    assert update_rescue_scale(2.0, 3.0, hp3) == 1.0
+
+    hp_off = tiny_hp()  # both bounds unset -> always 1.0
     assert update_rescue_scale(5.0, 0.0, hp_off) == 1.0
 
 
@@ -111,6 +133,12 @@ def test_rescue_escalates_and_logs(tmp_path):
               if "Identification rescue scale" in r]
     # 4 validations: 3.0, then capped at 4.5.
     assert scales == [3.0, 4.5, 4.5, 4.5]
+    # The sensor itself is logged: the latent-separation ratio (finite,
+    # positive — the scale-free statistic the floor is calibrated on).
+    seps = [r["Identification separation"] for r in records
+            if "Identification separation" in r]
+    assert len(seps) == len(scales)
+    assert all(np.isfinite(s) and s > 0 for s in seps)
 
 
 def test_resume_from_checkpoint(tmp_path):
