@@ -347,6 +347,84 @@ def build_composed_corpus(root: str, n_utts: int = 200, n_train: int = None,
     return wav_dir + os.sep, train_list, val_list, modes
 
 
+# --- Factorial corpus: TWO independent hidden bits on disjoint bands ---
+#
+# The bimodal corpus carries ONE hidden bit; this corpus carries two,
+# drawn independently per utterance, so the latent space to identify is a
+# 2x2 product (4 joint modes at ~uniform probability). Bit A reuses the
+# composed corpus's mode band ([4.0, 4.8] kHz, scored on MODEBAND_SCORE);
+# bit B is a STEADY marker on the texture corpus's band (>= 5.4 kHz,
+# scored on TEXBAND_SCORE) — the same buffer channels keep the two scoring
+# bands disjoint. It is the instrument for the identification-scaling
+# study (scripts/gan_factorial_study.py): can a 1-dim 4-level code cover a
+# product space, and does a 2-dim 2-level code DISENTANGLE (each code dim
+# binding to one bit)? The reference cannot pose the question — its noise
+# input is injected but never identified (model.py:184-191, 273-279).
+
+
+FACTORIAL_LOWPASS_HZ = 3700.0  # below both scoring bands
+
+
+def synth_factorial_utterance(text: str, bits, rng) -> np.ndarray:
+    """Tone-language utterance (lowpassed below the marker bands)
+    + (bits[0] ? steady [4.0,4.8] kHz marker : 0)
+    + (bits[1] ? steady >=5.4 kHz marker : 0).
+
+    Two instrument-soundness choices differ from the composed corpus:
+    the base utterance is brickwall-lowpassed at 3.7 kHz so the off-bit
+    level in each scoring band is the quiet mel floor (per-text tone
+    splatter otherwise puts ~0.6 log-units of spread there, blurring the
+    class separation), and the markers are added at CONSTANT amplitude
+    (an |wav| envelope would amplitude-modulate the marker, and the
+    high-tone envelope harmonics reach ~3.8 kHz — wide enough sidebands
+    to leak bit B's >=5.4 kHz marker into bit A's band, breaking
+    independence)."""
+    wav = synth_utterance(text, rng)
+    spec = np.fft.rfft(wav)
+    freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
+    spec[freqs >= FACTORIAL_LOWPASS_HZ] = 0
+    wav = np.fft.irfft(spec, n=wav.size).astype(np.float32)
+    amp = HIBAND_AMP * (float(np.abs(wav).mean()) + 0.05)
+    if bits[0]:
+        marker = _bandlimited_noise(wav.size, MODEBAND_LO_HZ,
+                                    MODEBAND_HI_HZ, rng)
+        wav = wav + amp * marker
+    if bits[1]:
+        marker = _bandlimited_noise(wav.size, TEXBAND_LO_HZ, SR / 2.0, rng)
+        wav = wav + amp * marker
+    return wav.astype(np.float32)
+
+
+def build_factorial_corpus(root: str, n_utts: int = 200, n_train: int = None,
+                           min_chars: int = 5, max_chars: int = 9,
+                           seed: int = 0):
+    """LJSpeech-layout corpus with two independent hidden bits (bit A on
+    [4.0,4.8] kHz, bit B >= 5.4 kHz; both hidden from text/labels).
+    Returns (wav_dir_with_sep, train_filelist, val_filelist, bits) where
+    ``bits`` maps wav filename -> (bit_a, bit_b)."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    bits = {}
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        ab = (int(rng.rand() < 0.5), int(rng.rand() < 0.5))
+        name = f"u{i}.wav"
+        _emit_wav(os.path.join(wav_dir, name),
+                  synth_factorial_utterance(text, ab, rng))
+        bits[name] = ab
+        lines.append(f"{name}|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
+    return wav_dir + os.sep, train_list, val_list, bits
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

@@ -177,6 +177,119 @@ def attribution_grid_stats(levels: np.ndarray, midpoint: float) -> dict:
     }
 
 
+def joint_mode_grid(levels_a: np.ndarray, levels_b: np.ndarray,
+                    mid_a: float, mid_b: float) -> np.ndarray:
+    """Two same-shaped grids of per-band scalar levels -> joint mode ids
+    ``2*(a > mid_a) + (b > mid_b)`` in [0, 4). The factorial corpus's four
+    joint modes, keyed (bitA, bitB) -> 0:(0,0) 1:(0,1) 2:(1,0) 3:(1,1)."""
+    a = np.asarray(levels_a, np.float64) > mid_a
+    b = np.asarray(levels_b, np.float64) > mid_b
+    return (2 * a + b).astype(np.int64)
+
+
+def attribution_grid_stats_multi(modes: np.ndarray, n_modes: int) -> dict:
+    """K-way generalization of ``attribution_grid_stats`` for an
+    (N styles, M dropout) grid of DISCRETE mode ids in [0, n_modes) —
+    the factorial study's joint-mode attribution. Under "dropout decides,
+    the latent is ignored" each style's draws are i.i.d. multinomial over
+    the grid's marginal mode frequencies; latent-driven structure shows as
+    a style x mode contingency chi^2 (df (N-1)(K'-1) over the K' modes
+    present in the grid)."""
+    modes = np.asarray(modes)
+    N, M = modes.shape
+    counts = np.stack([(modes == k).sum(axis=1) for k in range(n_modes)],
+                      axis=1)  # (N, K)
+    p = counts.sum(axis=0) / float(N * M)
+    majority = counts.max(axis=1) / M
+    present = p > 0
+    k_present = int(present.sum())
+    if k_present >= 2:
+        from scipy import stats
+        e = M * p[present]
+        chi2 = float(((counts[:, present] - e[None, :]) ** 2 / e).sum())
+        chi2_p = float(1 - stats.chi2.cdf(chi2,
+                                          df=(N - 1) * (k_present - 1)))
+    else:
+        chi2, chi2_p = 0.0, 1.0  # degenerate grid (fully collapsed)
+    majority_mode = counts.argmax(axis=1)
+    return {
+        "n_styles": N,
+        "n_dropout": M,
+        "n_modes": n_modes,
+        "grid_mode_freqs": [round(float(v), 4) for v in p],
+        "modes_present": k_present,
+        "within_noise_consistency": round(float(majority.mean()), 4),
+        "consistency_chance_floor": round(float(p.max()), 4),
+        "styles_majority_per_mode":
+            [int((majority_mode == k).sum()) for k in range(n_modes)],
+        "per_style_chi2": round(chi2, 2),
+        "per_style_chi2_p": round(chi2_p, 4),
+        "per_style_mode_counts": counts.tolist(),
+    }
+
+
+def code_binding_stats(levels: np.ndarray, code_grid: np.ndarray) -> dict:
+    """Disentanglement of a multi-dim discrete code against multi-band
+    levels.
+
+    ``levels``: (n_cells, S, n_bands) per-band scalar levels of S decodes
+    of each code cell; ``code_grid``: (n_cells, code_dims) int code levels
+    per cell (every trained cell enumerated once). ``binding[d][b]`` =
+    range over code-dim-d levels of the conditional mean of band b
+    (marginalizing the other dims and draws) — how much dim d moves band b.
+    ``assignment[d]`` = the band dim d moves most; ``modularity`` = mean
+    over dims of (top effect - runner-up) / (top + runner-up): 1 = each
+    dim moves exactly one band, 0 = moves two bands equally.
+    ``bands_bound`` counts DISTINCT assigned bands — a factorized code must
+    also be injective (two dims binding the same band is entanglement the
+    per-dim modularity cannot see)."""
+    levels = np.asarray(levels, np.float64)
+    code_grid = np.asarray(code_grid)
+    n_cells, S, n_bands = levels.shape
+    code_dims = code_grid.shape[1]
+    binding = np.zeros((code_dims, n_bands))
+    for d in range(code_dims):
+        cond = []
+        for lvl in np.unique(code_grid[:, d]):
+            sel = code_grid[:, d] == lvl
+            cond.append(levels[sel].mean(axis=(0, 1)))  # (n_bands,)
+        cond = np.stack(cond)
+        binding[d] = cond.max(axis=0) - cond.min(axis=0)
+    assignment = binding.argmax(axis=1)
+    mod = []
+    for d in range(code_dims):
+        eff = np.sort(binding[d])[::-1]
+        top, second = eff[0], (eff[1] if n_bands > 1 else 0.0)
+        mod.append((top - second) / max(top + second, 1e-9))
+    return {
+        "binding_matrix": np.round(binding, 4).tolist(),
+        "assignment": assignment.tolist(),
+        "bands_bound": int(len(set(assignment.tolist()))),
+        "modularity": round(float(np.mean(mod)), 4),
+    }
+
+
+def code_mode_coverage(cell_modes: np.ndarray, n_modes: int) -> dict:
+    """Can the trained code REACH every joint mode? ``cell_modes``:
+    (n_cells, S) joint mode ids of S decodes of each code cell. Each cell
+    votes its majority mode; coverage = fraction of the n_modes joint
+    modes some cell's majority reaches. ``cell_consistency`` = mean
+    majority fraction (how committed each cell is to its mode)."""
+    cell_modes = np.asarray(cell_modes)
+    n_cells, S = cell_modes.shape
+    counts = np.stack([(cell_modes == k).sum(axis=1)
+                       for k in range(n_modes)], axis=1)
+    majority_mode = counts.argmax(axis=1)
+    return {
+        "cell_majority_modes": majority_mode.tolist(),
+        "modes_reached": int(len(set(majority_mode.tolist()))),
+        "coverage": round(len(set(majority_mode.tolist())) / n_modes, 4),
+        "cell_consistency":
+            round(float((counts.max(axis=1) / S).mean()), 4),
+        "cell_mode_counts": counts.tolist(),
+    }
+
+
 def commitment_stats(gen_levels, anchors: dict) -> dict:
     """Score generated samples against the real-mode anchors.
 

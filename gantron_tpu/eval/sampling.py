@@ -175,11 +175,16 @@ def attribution_level_grid(model, variables, hp, input_sequence, channels,
     one free-running decode with style i injected deterministically (the
     latent axis) and dropout key j (the nuisance axis). ONE definition of
     the key schedule shared by scripts/mode_attribution.py and
-    scripts/gan_composed_study.py so the two studies can never silently
-    score differently-constructed grids. Returns a (N, M) float array.
+    scripts/gan_factorial_study.py so the studies can never silently
+    score differently-constructed grids. ``channels`` is one mel-channel
+    index array -> returns (N, M); or a list/tuple of B such arrays ->
+    returns (N, M, B), every band scored on the SAME decode grid (the
+    factorial study's per-band + joint attribution needs exactly that).
     """
     from gantron_tpu.eval.mode_study import hiband_level
 
+    bands = (list(channels) if isinstance(channels, (list, tuple))
+             else [channels])
     N, M = n_styles, n_dropout
     max_steps = max_decoder_steps or hp.max_decoder_steps
     text_batch = jnp.broadcast_to(jnp.asarray(input_sequence),
@@ -191,7 +196,7 @@ def attribution_level_grid(model, variables, hp, input_sequence, channels,
     infer = jax.jit(lambda v, text, style, kd, kn: model.apply(
         v, text, style, None, None, max_steps,
         method=model.infer, rngs={"dropout": kd, "noise": kn}))
-    levels = np.zeros((N, M))
+    levels = np.zeros((N, M, len(bands)))
     for j in range(M):
         kd = jax.random.fold_in(k_drop, j)
         out = infer(variables, text_batch, styles, kd,
@@ -200,7 +205,10 @@ def attribution_level_grid(model, variables, hp, input_sequence, channels,
         lens = np.asarray(out[4])
         for i in range(N):
             m = mels[i, :, : max(int(lens[i]), 2)]
-            levels[i, j] = hiband_level(m, channels)
+            for b, ch in enumerate(bands):
+                levels[i, j, b] = hiband_level(m, ch)
+    if not isinstance(channels, (list, tuple)):
+        return levels[:, :, 0]
     return levels
 
 

@@ -174,3 +174,129 @@ def test_composed_corpus_bands_separate_and_dont_interfere(tmp_path):
     # less than it moves its own band.
     tex_shift = abs(np.mean(tex_levels[1]) - np.mean(tex_levels[0]))
     assert tex_shift < 0.25 * (anchors["mode_hi"] - anchors["mode_lo"])
+
+
+def test_factorial_corpus_bits_separate_and_independent(tmp_path):
+    """The factorial corpus carries TWO independent hidden bits; the
+    scaling-study instrument (scripts/gan_factorial_study.py) is sound only
+    if each bit separates cleanly on ITS band, neither bit leaks onto the
+    other's band, and all 4 joint modes occur."""
+    from gantron_tpu.data.toy import (MODEBAND_SCORE, TEXBAND_SCORE,
+                                      build_factorial_corpus)
+    from gantron_tpu.eval.mode_study import band_channels
+
+    root = str(tmp_path)
+    wav_dir, train_list, val_list, bits = build_factorial_corpus(
+        root, n_utts=24, n_train=24)
+    assert set(bits.values()) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    ds = TextMelDataset(hp.training_files, hp, wav_dir)
+    ch_a = band_channels(hp, *MODEBAND_SCORE)
+    ch_b = band_channels(hp, TEXBAND_SCORE)
+    assert ch_a.size >= 4 and ch_b.size >= 8
+    assert set(ch_a).isdisjoint(set(ch_b))
+
+    lv_a = {0: [], 1: []}   # band-A level keyed by bit A
+    lv_b = {0: [], 1: []}   # band-B level keyed by bit B
+    leak_a = {0: [], 1: []}  # band-A level keyed by bit B (must not move)
+    leak_b = {0: [], 1: []}  # band-B level keyed by bit A
+    for name, (a, b) in bits.items():
+        mel = np.asarray(ds.get_mel(os.path.join(wav_dir, name)))
+        la, lb = hiband_level(mel, ch_a), hiband_level(mel, ch_b)
+        lv_a[a].append(la)
+        lv_b[b].append(lb)
+        leak_a[b].append(la)
+        leak_b[a].append(lb)
+
+    for lv in (lv_a, lv_b):
+        anchors = mode_anchor_levels(lv)
+        assert anchors["mode_hi"] - anchors["mode_lo"] > 2.0
+        assert anchors["halfgap"] > 3 * max(anchors["spread_lo"],
+                                            anchors["spread_hi"])
+    # Independence: the OTHER bit moves each band by far less than its own.
+    gap_a = np.mean(lv_a[1]) - np.mean(lv_a[0])
+    gap_b = np.mean(lv_b[1]) - np.mean(lv_b[0])
+    assert abs(np.mean(leak_a[1]) - np.mean(leak_a[0])) < 0.25 * gap_a
+    assert abs(np.mean(leak_b[1]) - np.mean(leak_b[0])) < 0.25 * gap_b
+
+
+def test_attribution_grid_stats_multi_separates_latent_from_dropout():
+    """The 4-way joint attribution must call a latent-driven grid
+    identified, a per-cell coin grid unidentified, and a collapsed grid
+    degenerate — same contract as the binary statistic."""
+    from gantron_tpu.eval.mode_study import (attribution_grid_stats_multi,
+                                             joint_mode_grid)
+
+    rng = np.random.RandomState(0)
+    N, M = 16, 8
+    # Latent-driven: each style commits to one of 4 joint modes.
+    style_mode = rng.randint(0, 4, N)
+    a = np.where((style_mode // 2)[:, None] == 1, -3.0, -9.0) \
+        + rng.randn(N, M) * 0.3
+    b = np.where((style_mode % 2)[:, None] == 1, -2.0, -8.0) \
+        + rng.randn(N, M) * 0.3
+    modes = joint_mode_grid(a, b, mid_a=-6.0, mid_b=-5.0)
+    assert set(np.unique(modes)) <= {0, 1, 2, 3}
+    ident = attribution_grid_stats_multi(modes, 4)
+    assert ident["within_noise_consistency"] > 0.95
+    assert ident["per_style_chi2_p"] < 0.01
+    assert ident["modes_present"] == 4
+    assert sum(ident["styles_majority_per_mode"]) == N
+
+    # Dropout-driven: every cell an independent 4-way draw.
+    null = attribution_grid_stats_multi(rng.randint(0, 4, (N, M)), 4)
+    assert null["per_style_chi2_p"] > 0.05
+    assert null["within_noise_consistency"] < 0.8
+
+    # Fully collapsed: one mode everywhere — degenerate, never identified.
+    collapsed = attribution_grid_stats_multi(np.full((N, M), 2), 4)
+    assert collapsed["per_style_chi2_p"] == 1.0
+    assert collapsed["consistency_chance_floor"] == 1.0
+    assert collapsed["modes_present"] == 1
+
+
+def test_code_binding_and_coverage_stats():
+    """Disentanglement + coverage on synthetic code-cell decode grids: a
+    factorized code (dim0 -> band A, dim1 -> band B) scores modular,
+    injective, full-coverage; an entangled/collapsed one does not."""
+    from gantron_tpu.eval.mode_study import (code_binding_stats,
+                                             code_mode_coverage,
+                                             joint_mode_grid)
+
+    rng = np.random.RandomState(1)
+    cells = np.array([[0, 0], [0, 1], [1, 0], [1, 1]])
+    S = 8
+    # Disentangled: dim0 moves band A only, dim1 moves band B only.
+    a = np.where(cells[:, 0:1] == 1, -3.0, -9.0) + rng.randn(4, S) * 0.2
+    b = np.where(cells[:, 1:2] == 1, -2.0, -8.0) + rng.randn(4, S) * 0.2
+    levels = np.stack([a, b], axis=-1)  # (4, S, 2)
+    binding = code_binding_stats(levels, cells)
+    assert binding["assignment"] == [0, 1]
+    assert binding["bands_bound"] == 2
+    assert binding["modularity"] > 0.9
+    modes = joint_mode_grid(a, b, mid_a=-6.0, mid_b=-5.0)
+    cov = code_mode_coverage(modes, 4)
+    assert cov["coverage"] == 1.0
+    assert cov["cell_consistency"] > 0.95
+    assert cov["cell_majority_modes"] == [0, 1, 2, 3]
+
+    # Entangled: BOTH dims move band A equally, band B never moves ->
+    # non-injective assignment and only 2 of 4 modes reachable.
+    a2 = np.where(cells.sum(axis=1, keepdims=True) >= 1, -3.0, -9.0) \
+        + rng.randn(4, S) * 0.2
+    b2 = np.full((4, S), -8.0) + rng.randn(4, S) * 0.2
+    binding2 = code_binding_stats(np.stack([a2, b2], axis=-1), cells)
+    assert binding2["bands_bound"] == 1
+    cov2 = code_mode_coverage(
+        joint_mode_grid(a2, b2, mid_a=-6.0, mid_b=-5.0), 4)
+    assert cov2["coverage"] == 0.5
+
+    # Collapsed: code ignored entirely -> one mode, zero-ish binding.
+    a3 = np.full((4, S), -9.0) + rng.randn(4, S) * 0.2
+    cov3 = code_mode_coverage(
+        joint_mode_grid(a3, b2, mid_a=-6.0, mid_b=-5.0), 4)
+    assert cov3["coverage"] == 0.25
