@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """Aggregate the round-4 study artifacts (mode_study.json,
-mode_attribution.json, texture_study.json under a batch output dir) into
-one summary JSON + a readable table — the source for
-docs/TRAINING_EVIDENCE.md's round-4 sections.
+mode_attribution.json, texture_study.json, factorial_study.json under a
+batch output dir) into one summary JSON + a readable table — the source
+for docs/TRAINING_EVIDENCE.md's round-4 sections.
 
 Usage: python scripts/summarize_round4.py /tmp/studies_r4 [-o out.json]
 """
@@ -67,6 +67,43 @@ def main():
             "texture_recovery": study["texture_recovery"],
             "device": study.get("device"),
         })
+
+    summary["factorial_arms"] = []
+    for path in sorted(glob.glob(
+            os.path.join(args.root, "*", "factorial_study.json"))):
+        with open(path) as f:
+            study = json.load(f)
+        joint = study["attribution_joint"]
+        row = {
+            "arm": os.path.basename(os.path.dirname(path)),
+            "variant": study["variant"],
+            "seed": study.get("seed", 0),
+            "iterations": study["iterations"],
+            "val_mel": study.get("final_validation", {}).get(
+                "Validation mel loss"),
+            "chi2_a": study["attribution_a"]["per_style_chi2"],
+            "chi2_a_p": study["attribution_a"]["per_style_chi2_p"],
+            "chi2_b": study["attribution_b"]["per_style_chi2"],
+            "chi2_b_p": study["attribution_b"]["per_style_chi2_p"],
+            "joint_chi2": joint["per_style_chi2"],
+            "joint_chi2_p": joint["per_style_chi2_p"],
+            "joint_consistency": joint["within_noise_consistency"],
+            "joint_chance_floor": joint["consistency_chance_floor"],
+            "modes_present": joint["modes_present"],
+            "device": study.get("device"),
+        }
+        if study.get("coverage"):
+            row.update({
+                "coverage": study["coverage"]["coverage"],
+                "cell_consistency": study["coverage"]["cell_consistency"],
+            })
+        if study.get("binding"):
+            row.update({
+                "bands_bound": study["binding"]["bands_bound"],
+                "modularity": study["binding"]["modularity"],
+                "assignment": study["binding"]["assignment"],
+            })
+        summary["factorial_arms"].append(row)
 
     out = args.output or os.path.join(args.root, "round4_summary.json")
     with open(out, "w") as f:
