@@ -262,11 +262,19 @@ def test_attribution_level_grid_shape_and_axes(setup):
     # Different styles decode differently through an untrained net too.
     assert not np.allclose(grid[0], grid[1])
     # A different band reads a different level off the same decodes.
+    other_channels = np.arange(hp.n_mel_channels // 2, hp.n_mel_channels)
     other = attribution_level_grid(
-        gen, variables, hp, seq,
-        np.arange(hp.n_mel_channels // 2, hp.n_mel_channels),
+        gen, variables, hp, seq, other_channels,
         n_styles=3, n_dropout=2, seed=0, max_decoder_steps=12)
     assert not np.allclose(grid, other)
+    # Multi-band form (the factorial study): one decode grid, per-band
+    # scores identical to the single-band calls.
+    multi = attribution_level_grid(
+        gen, variables, hp, seq, [channels, other_channels],
+        n_styles=3, n_dropout=2, seed=0, max_decoder_steps=12)
+    assert multi.shape == (3, 2, 2)
+    assert np.array_equal(multi[:, :, 0], grid)
+    assert np.array_equal(multi[:, :, 1], other)
 
 
 def test_single_level_code_rejected():
