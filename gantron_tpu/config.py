@@ -281,6 +281,14 @@ class HParams:
     # text): a flip then earns the full reward and anything beyond earns
     # nothing, so the cheapest saturating solution is flipping real modes.
     diversity_cap: float = 0.0
+    # Redraw a random NONEMPTY SUBSET of the code dims for the diversity
+    # pair instead of shifting every dim (train/step.py redraw_code). With
+    # the default all-dims form and 2-level multi-dim codes, every pair is
+    # the all-dims flip — single-dim flips are never rewarded, so nothing
+    # asks each code dim to SEPARATELY control the output (the per-dim
+    # contrast a factorized code needs on a multi-factor corpus, e.g.
+    # data.toy.build_factorial_corpus). No effect for style_code_dims <= 1.
+    diversity_subset_redraw: bool = False
     # InfoGAN code/nuisance split of the injected style vector: the Q head
     # reconstructs (and the diversity term redraws) only the FIRST
     # style_code_dims dims; the rest stay nuisance noise. Classic InfoGAN

@@ -107,6 +107,42 @@ def apply_deferred_dw(hp, grads, dw_aux, d_off):
     return out
 
 
+def redraw_code(key, code, code_levels, subset=False):
+    """Diversity-pair code redraw (config.py diversity_weight).
+
+    Discrete (code_levels >= 2): shift by a nonzero offset mod L so the
+    pair ALWAYS differs (a same-code pair decodes identically under the
+    shared dropout key — zero contrast, wasted sample). Continuous
+    (code_levels == 0): independent U[0,1) redraw.
+
+    ``subset=True`` (config.py diversity_subset_redraw) shifts a random
+    NONEMPTY subset of the code dims instead of every dim. Why that
+    matters for multi-dim codes: with the all-dims form and 2-level codes
+    the offset is always 1 mod 2, so every diversity pair is the
+    all-dims flip (0,0)<->(1,1) / (0,1)<->(1,0) — the reward never asks a
+    SINGLE dim's flip to move the output, which is exactly the per-dim
+    control a factorized (disentangled) code needs. Single-dim codes are
+    unaffected (the nonempty subset is that dim)."""
+    if code_levels == 0:
+        return jax.random.uniform(key, code.shape)
+    k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
+    dims = code.shape[-1]
+    if subset and dims > 1:
+        k_off, k_mask, k_force = jax.random.split(key, 3)
+        off = jax.random.randint(k_off, code.shape, 1, code_levels)
+        mask = jax.random.bernoulli(k_mask, 0.5, code.shape)
+        # Guarantee a nonempty subset: one uniformly-drawn dim always
+        # shifts, so the pair can never be identical.
+        force = jax.nn.one_hot(
+            jax.random.randint(k_force, code.shape[:-1], 0, dims), dims,
+            dtype=bool)
+        off = jnp.where(mask | force, off, 0)
+    else:
+        off = jax.random.randint(key, code.shape, 1, code_levels)
+    return (((k + off) % code_levels).astype(jnp.float32)
+            + 0.5) / code_levels
+
+
 def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
@@ -172,17 +208,10 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         k = jax.random.randint(key, shape, 0, code_levels)
         return (k.astype(jnp.float32) + 0.5) / code_levels
 
+    subset_redraw = bool(getattr(hp, "diversity_subset_redraw", False))
+
     def _redraw_code(key, code):
-        """Diversity-pair redraw. Discrete: shift by a nonzero offset mod L
-        so the pair ALWAYS differs (a same-code pair decodes identically
-        under the shared dropout key — zero contrast, wasted sample).
-        Continuous: independent redraw, as before."""
-        if code_levels == 0:
-            return jax.random.uniform(key, code.shape)
-        k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
-        off = jax.random.randint(key, code.shape, 1, code_levels)
-        return (((k + off) % code_levels).astype(jnp.float32)
-                + 0.5) / code_levels
+        return redraw_code(key, code, code_levels, subset=subset_redraw)
     roll_decode = rollouts or style_recon or diversity
     inject_style = style_recon or diversity
     if roll_decode and getattr(hp, "quantized_inference", False):

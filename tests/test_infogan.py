@@ -179,6 +179,40 @@ def test_discrete_code_step_runs():
     assert np.isfinite(float(metrics["generator_loss"]))
 
 
+def test_redraw_code_subset_semantics():
+    """redraw_code (train/step.py): the all-dims form flips EVERY dim of a
+    2-level multi-dim code (so single-dim contrast is never produced);
+    the subset form (diversity_subset_redraw) flips a random nonempty
+    subset — both single-dim flips occur, pairs never coincide, and all
+    values stay on the trained grid. Single-dim codes behave identically
+    under both forms."""
+    from gantron_tpu.train.step import redraw_code
+
+    code = jnp.full((64, 1, 2), 0.25)  # every sample at cell (0, 0)
+    grid = {0.25, 0.75}
+
+    all_flip = redraw_code(jax.random.PRNGKey(0), code, 2, subset=False)
+    assert set(np.unique(all_flip).tolist()) <= grid
+    # The offset is always 1 mod 2: both dims always flip.
+    assert np.all(np.asarray(all_flip) == 0.75)
+
+    sub = np.asarray(
+        redraw_code(jax.random.PRNGKey(0), code, 2, subset=True))
+    assert set(np.unique(sub).tolist()) <= grid
+    flipped = sub != 0.25  # (64, 1, 2) bool
+    n_flipped = flipped.sum(axis=-1).ravel()
+    assert (n_flipped >= 1).all()  # nonempty subset guarantee
+    per_dim_only = [(flipped[:, 0, d] & (n_flipped == 1)).sum()
+                    for d in range(2)]
+    assert per_dim_only[0] > 0 and per_dim_only[1] > 0  # single-dim flips
+    assert (n_flipped == 2).any()  # the joint flip still occurs
+
+    one_dim = jnp.full((32, 1, 1), 0.25)
+    a = redraw_code(jax.random.PRNGKey(1), one_dim, 2, subset=False)
+    b = redraw_code(jax.random.PRNGKey(1), one_dim, 2, subset=True)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_coded_style_semantics():
     """Serving-side counterpart of the training code grid: coded_style
     pins the code prefix to (k + 0.5) / L — the exact values the trained
