@@ -63,6 +63,15 @@ VARIANTS = {
     "bit2x2": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2),
     # Underparameterized: one 2-level dim facing two hidden bits.
     "bit1": dict(_BIT_WARM, style_code_dims=1, style_code_levels=2),
+    # The measured-failure fix arm: the base bit2x2 arms collapse or bind
+    # one band because the all-dims diversity redraw only ever produces
+    # the joint flip, whose output contrast (2.17 L1 on this corpus) a
+    # SINGLE band's change (1.23) already saturates past diversity_cap —
+    # the second code dim never owes any contrast. Subset redraw
+    # (config.py diversity_subset_redraw) makes single-dim pairs that owe
+    # the full cap on their own.
+    "bit2x2_subset": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
+                          diversity_subset_redraw=True),
     # The MSE identification floor.
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
 }
