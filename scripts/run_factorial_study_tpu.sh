@@ -45,3 +45,12 @@ run python scripts/gan_factorial_study.py --variant nogan --seed 0 \
     --iterations "$ITERS" -o "$OUT"
 
 echo "ALL DONE $(date)" >> "$OUT/progress.log"
+
+# Fix arm (run after the base arms measured the failure): subset redraw
+# makes single-dim code flips owe the full diversity contrast.
+for s in 0 1 2; do
+  run python scripts/gan_factorial_study.py --variant bit2x2_subset \
+      --seed "$s" --iterations "$ITERS" -o "$OUT"
+done
+
+echo "SUBSET DONE $(date)" >> "$OUT/progress.log"
