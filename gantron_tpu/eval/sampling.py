@@ -310,7 +310,7 @@ def code_separation_ratio(mels, lengths, n_levels, n_draws):
     return b / max(w, 1e-8)
 
 
-def separation_grid_styles(hp, n_levels, n_draws, key):
+def separation_grid_styles(hp, n_levels, n_draws, key, dim=None):
     """Level-major (n_levels * n_draws, 1, noise_size) style grid for the
     latent-separation probe — ONE construction shared by the in-loop
     collapse-rescue sensor (train/loop.py) and the offline calibration
@@ -322,6 +322,14 @@ def separation_grid_styles(hp, n_levels, n_draws, key):
     training grid ``(l + 0.5) / style_code_levels`` (step.py _draw_code).
     Continuous configs: each level is one full random style vector shared
     across draws (within-level variation is dropout only).
+
+    ``dim`` (discrete-code configs only): sweep ONLY code dim ``dim``
+    across the levels; the OTHER code dims are drawn from the training
+    grid once per draw and shared across levels — the factor-aware form
+    (scripts/calibrate_factor_sensor.py): between-level contrast then
+    isolates what dim ``dim`` alone moves. Default ``None`` keeps the
+    diagonal sweep (all code dims together), the calibrated single-factor
+    sensor.
     """
     import jax
     import jax.numpy as jnp
@@ -330,6 +338,9 @@ def separation_grid_styles(hp, n_levels, n_draws, key):
     code_dims = int(getattr(hp, "style_code_dims", 0) or 0)
     code_levels = int(getattr(hp, "style_code_levels", 0) or 0)
     if code_dims > 0 and code_levels >= 2:
+        # NOTE: dim=None must keep drawing nuisance from `key` directly —
+        # the committed ceiling calibration (rescue_floor_calibration.json)
+        # was measured on exactly these draws.
         nuis = jax.random.uniform(key, (S, 1, hp.noise_size))
         style = jnp.tile(nuis, (L, 1, 1))  # level-major
         # L may be capped below code_levels; spread the probed levels over
@@ -337,9 +348,18 @@ def separation_grid_styles(hp, n_levels, n_draws, key):
         lvls = np.round(np.linspace(0, code_levels - 1, L)).astype(np.int32)
         grid = jnp.repeat((jnp.asarray(lvls, jnp.float32) + 0.5)
                           / code_levels, S)
-        style = style.at[:, 0, :code_dims].set(
-            jnp.broadcast_to(grid[:, None], (L * S, code_dims)))
-        return style
+        if dim is None:
+            style = style.at[:, 0, :code_dims].set(
+                jnp.broadcast_to(grid[:, None], (L * S, code_dims)))
+            return style
+        if not 0 <= dim < code_dims:
+            raise ValueError(f"dim={dim} not in [0, code_dims={code_dims})")
+        other = (jax.random.randint(jax.random.fold_in(key, dim + 1),
+                                    (S, 1, code_dims), 0,
+                                    code_levels).astype(jnp.float32)
+                 + 0.5) / code_levels
+        style = style.at[:, :, :code_dims].set(jnp.tile(other, (L, 1, 1)))
+        return style.at[:, 0, dim].set(grid)
     per_level = jax.random.uniform(key, (L, 1, hp.noise_size))
     return jnp.repeat(per_level, S, axis=0)
 
@@ -357,7 +377,8 @@ def probe_grid_shape(hp):
     return L, max(M // L, 2)
 
 
-def latent_separation(model, variables, hp, text, key, infer_fn=None):
+def latent_separation(model, variables, hp, text, key, infer_fn=None,
+                      dim=None):
     """Decode the separation grid of one text and return
     ``(separation_ratio, spread)``.
 
@@ -366,13 +387,15 @@ def latent_separation(model, variables, hp, text, key, infer_fn=None):
     ``Tacotron2.infer`` (train/loop.py passes its cached closure; offline
     callers omit it). ``spread`` is pairwise_sample_distance over ALL grid
     rows — the free-running diversity statistic, logged alongside.
+    ``dim``: probe a single code dim (separation_grid_styles docstring) —
+    the factor-aware form for multi-dim codes.
     """
     import jax
     import jax.numpy as jnp
 
     L, S = probe_grid_shape(hp)
     k_style, k_run = jax.random.split(key)
-    style = separation_grid_styles(hp, L, S, k_style)
+    style = separation_grid_styles(hp, L, S, k_style, dim=dim)
     text_batch = jnp.broadcast_to(jnp.asarray(text, jnp.int32),
                                   (L * S, text.shape[1]))
     if infer_fn is None:

@@ -219,3 +219,39 @@ def test_separation_grid_styles_structure():
     assert np.allclose(style2[:S2, 0, 2:], style2[S2:, 0, 2:])
     # ... and distinct across draws.
     assert not np.allclose(style2[0, 0, 2:], style2[1, 0, 2:])
+
+
+def test_separation_grid_styles_per_dim():
+    """The factor-aware form (dim=d): only dim d sweeps the levels; the
+    other code dims sit on trained grid values, shared across levels
+    within a draw; nuisance construction matches the diagonal form (the
+    committed ceiling calibration depends on those exact draws)."""
+    from gantron_tpu.eval.sampling import (probe_grid_shape,
+                                           separation_grid_styles)
+
+    hp = _GridHP()
+    hp.style_code_dims, hp.style_code_levels = 2, 2
+    L, S = probe_grid_shape(hp)
+    key = jax.random.PRNGKey(0)
+    diag = np.asarray(separation_grid_styles(hp, L, S, key))
+    for d in range(2):
+        g = np.asarray(separation_grid_styles(hp, L, S, key, dim=d))
+        assert g.shape == diag.shape
+        # Probed dim sweeps the training grid per level.
+        assert np.allclose(g[:S, 0, d], 0.25)
+        assert np.allclose(g[S:, 0, d], 0.75)
+        other = 1 - d
+        # Other code dim: on the trained grid, shared across levels.
+        assert set(np.unique(g[:, 0, other]).tolist()) <= {0.25, 0.75}
+        assert np.allclose(g[:S, 0, other], g[S:, 0, other])
+        # Nuisance dims identical to the diagonal grid's draws.
+        assert np.allclose(g[:, 0, 2:], diag[:, 0, 2:])
+    # The two dims' "other" draws differ (independent fold) on some keys.
+    g0 = np.asarray(separation_grid_styles(hp, L, S, key, dim=0))
+    g1 = np.asarray(separation_grid_styles(hp, L, S, key, dim=1))
+    assert g0.shape == g1.shape
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        separation_grid_styles(hp, L, S, key, dim=2)
