@@ -316,6 +316,29 @@ class HParams:
     # At inference the code enters the network as a raw float like any
     # style value; decodes commit to the nearest trained level's basin.
     style_code_levels: int = 0
+    # Code-modularity (disentanglement) penalty for multi-dim codes: the
+    # factorial campaign measured that per-dim output CONTRAST (subset
+    # redraw) + reconstruction identify a product latent space but bind it
+    # ENTANGLEDLY — code axes rotated against the corpus's factor axes
+    # (joint chi^2 ~0 p's at coverage 0.5-0.75 and modularity ~0.2,
+    # docs/TRAINING_EVIDENCE.md "Factorial scaling study") — and nothing
+    # in the objective prefers axis-aligned binding. When > 0 the
+    # diversity stage decodes the rollout THREE times — base code, dim-i
+    # flipped, dim-j flipped (i != j drawn per sample) — rewards each
+    # single-dim pair's saturating contrast separately (each dim owes the
+    # full diversity_cap on its own, a strictly stronger per-dim demand
+    # than the random subset), and penalizes the |cosine| between the two
+    # per-dim output deltas: dims controlling disjoint output structure
+    # (e.g. disjoint mel bands) score 0, dims driving the same channel
+    # score ~1. This is the two-level finite-difference analogue of the
+    # Hessian Penalty's off-diagonal interaction term (Peebles et al.,
+    # ECCV 2020: minimizing off-diagonal d2G/dzi dzj disentangles); with
+    # discrete codes the per-dim first differences ARE the axes, so
+    # orthogonality of the deltas is the modular-binding surrogate.
+    # 0 disables. Requires diversity_weight > 0, diversity_cap > 0, and
+    # style_code_dims >= 2. Cost: one extra rollout decode per G step
+    # (3 instead of the diversity pair's 2).
+    code_modularity_weight: float = 0.0
     # Identification warm-up: hold the InfoGAN terms (style_reconstruction_
     # weight AND diversity_weight) at ZERO for this many iterations, then
     # switch them on at full strength. Why: switching identification on at
@@ -362,6 +385,31 @@ class HParams:
     diversity_rescue_ceiling: float = 0.0
     diversity_rescue_gain: float = 2.0
     diversity_rescue_max: float = 8.0
+    # Factor-aware rescue (multi-dim codes only): the diagonal separation
+    # ratio above is measurably BLIND to factor collapse — on a
+    # multi-factor corpus the code keeps a visible output effect while one
+    # code dim dies, so the diagonal never trips (measured on all 6
+    # factorial checkpoints: it sat at 25.9 on a half-collapsed arm and
+    # 2.0 on a dead one — docs/TRAINING_EVIDENCE.md "Factor-aware collapse
+    # sensor"). The factor-aware sensor is the PER-DIM separation ratio
+    # (eval.sampling.latent_separation(dim=d): sweep one code dim with the
+    # other dims and nuisance shared), whose MIN separates
+    # identified/partial/collapsed 6/6 (calibrated floor 2.18, geometric
+    # mid of 3.47 healthy vs 1.37 best-sick). When a dim's ratio falls
+    # below this floor the controller escalates a PER-DIM redraw weight
+    # (train/loop.py update_factor_scales; gain/cap shared with
+    # diversity_rescue_gain/_max) and passes the normalized weights into
+    # the g-step, where the subset redraw (diversity_subset_redraw) draws
+    # its guaranteed dim from them and joins other dims with probability
+    # 0.5 * w_d / max(w) — concentrating the diversity contrast owed by
+    # single-dim pairs onto the collapsing factor, without touching the
+    # global ident_scale the diagonal controller owns (the two cannot
+    # conflict: one is a scalar on the loss terms, the other a
+    # distribution over code dims). Uniform weights reproduce the plain
+    # subset redraw exactly. 0 disables. Requires style_code_dims >= 2,
+    # diversity_subset_redraw=True, and the validation probe
+    # (validation_sample_diversity >= 2).
+    factor_rescue_floor: float = 0.0
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -262,6 +262,34 @@ def update_rescue_scale(scale: float, sensor: float, hp) -> float:
     return min(scale * gain, 1.0)
 
 
+def update_factor_scales(scales, per_dim, hp):
+    """Factor-aware rescue controller step (config.py factor_rescue_floor).
+
+    ``scales``: per-code-dim redraw weights (host floats, start at 1.0).
+    ``per_dim``: the measured per-dim separation ratios
+    (eval.sampling.latent_separation(dim=d) — calibrated on all 6
+    factorial checkpoints, scripts/calibrate_factor_sensor.py: min-per-dim
+    separates identified 3.47 vs partial/collapsed <= 1.37, floor 2.18).
+    A dim below the floor gets its weight multiplied by
+    ``diversity_rescue_gain`` (capped at ``diversity_rescue_max``);
+    healthy dims decay back toward 1. The weights bias WHERE the subset
+    redraw concentrates diversity contrast (train.step.redraw_code), a
+    per-dim actuator orthogonal to the diagonal controller's global
+    ident_scale — the two cannot issue conflicting commands."""
+    floor = float(getattr(hp, "factor_rescue_floor", 0.0) or 0.0)
+    if floor <= 0:
+        return [1.0] * len(scales)
+    gain = max(float(getattr(hp, "diversity_rescue_gain", 2.0)), 1.0 + 1e-9)
+    cap = max(float(getattr(hp, "diversity_rescue_max", 8.0)), 1.0)
+    out = []
+    for s, r in zip(scales, per_dim):
+        if r < floor:
+            out.append(min(s * gain, cap))
+        else:
+            out.append(max(s / gain, 1.0))
+    return out
+
+
 def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
           bool, hp, wavs_path: str, logger: Optional[MetricLogger] = None,
           real: float = 1.0, max_seconds: Optional[float] = None,
@@ -295,6 +323,29 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 "diversity_rescue_floor/ceiling > 0 requires "
                 "diversity_weight > 0 or style_reconstruction_weight > 0: "
                 "the rescue scale multiplies exactly those loss terms")
+    factor_floor = float(getattr(hp, "factor_rescue_floor", 0.0) or 0.0)
+    code_dims_cfg = int(getattr(hp, "style_code_dims", 0) or 0)
+    if factor_floor > 0:
+        # Fail fast (mirrors the diagonal controller's guards): the
+        # factor-aware rescue needs its per-dim sensor (the validation
+        # probe) and its actuator (the weighted subset redraw; the
+        # incompatible-flag check lives in train.step.make_train_steps).
+        if code_dims_cfg < 2:
+            raise ValueError(
+                "factor_rescue_floor > 0 requires style_code_dims >= 2: "
+                "the per-dim sensor is only distinct from the diagonal "
+                "one for multi-dim codes (config.py factor_rescue_floor)")
+        if (getattr(hp, "validation_sample_diversity", 0) or 0) < 2 \
+                or jax.process_count() > 1:
+            raise ValueError(
+                "factor_rescue_floor > 0 requires the collapse detector: "
+                "set validation_sample_diversity >= 2 (the probe is "
+                "single-process only)")
+        if not float(getattr(hp, "diversity_weight", 0.0)) > 0:
+            raise ValueError(
+                "factor_rescue_floor > 0 requires diversity_weight > 0: "
+                "the per-dim redraw weights bias the diversity pair's "
+                "subset redraw")
     mesh = make_mesh(hp.mesh_shape)
     if jax.process_count() > 1 and hp.batch_size % mesh.size != 0:
         # Single-process jit tolerates uneven data sharding (XLA pads);
@@ -343,8 +394,12 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 or float(getattr(hp, "diversity_rescue_ceiling", 0.0)
                          or 0.0) > 0)
 
+            _factor_dims = (code_dims_cfg if factor_floor > 0
+                            and code_dims_cfg >= 2 else 0)
+
             def diversity_probe(st, it):
-                """Returns (spread, separation_ratio | None)."""
+                """Returns (spread, separation_ratio | None,
+                per_dim_ratios | None)."""
                 from gantron_tpu.eval.sampling import (
                     latent_separation, pairwise_sample_distance)
 
@@ -352,22 +407,36 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     jax.random.PRNGKey(hp.seed + 17), it)
                 variables = {"params": st.g_params,
                              "batch_stats": st.g_batch_stats}
-                if _use_separation:
+                if _use_separation or _factor_dims:
                     # One grid decode feeds both statistics: the rescue
                     # sensor (scale-free between/within-code ratio) and the
-                    # logged free-running spread.
+                    # logged free-running spread. The factor-aware sensor
+                    # (config.py factor_rescue_floor) adds one grid decode
+                    # per code dim — the per-dim sweep the diagonal is
+                    # measurably blind without.
                     ratio, spread = latent_separation(
                         generator, variables, hp, _probe_text, k,
                         infer_fn=_probe_infer)
-                    return spread, ratio
+                    per_dim = None
+                    if _factor_dims:
+                        per_dim = [latent_separation(
+                            generator, variables, hp, _probe_text, k,
+                            infer_fn=_probe_infer, dim=d)[0]
+                            for d in range(_factor_dims)]
+                    return spread, ratio, per_dim
                 text = jnp.broadcast_to(_probe_text, (M, _probe_text.shape[1]))
                 out = _probe_infer(
                     variables, text, None,
                     jax.random.fold_in(k, 0), jax.random.fold_in(k, 1))
                 return pairwise_sample_distance(
-                    np.asarray(out[1]), np.asarray(out[4])), None
+                    np.asarray(out[1]), np.asarray(out[4])), None, None
 
     rescue_scale = 1.0
+    # Factor-aware rescue state (config.py factor_rescue_floor): per-dim
+    # redraw weights, updated at each validation from the per-dim
+    # separation probe, passed (normalized) into the g-step's subset
+    # redraw. All-ones = the unweighted redraw.
+    factor_scales = [1.0] * (code_dims_cfg if factor_floor > 0 else 0)
 
     ckpt = CheckpointManager(output_directory)
     iteration = 0
@@ -453,8 +522,9 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                             if chief else None,
                             vocoder=vocoder)
         if diversity_probe is not None:
-            nonlocal rescue_scale
-            diversity, separation = diversity_probe(state, iteration)
+            nonlocal rescue_scale, factor_scales
+            diversity, separation, per_dim = diversity_probe(
+                state, iteration)
             extra_vals = {}
             if separation is not None:
                 # The controller's sensor is the separation ratio, never
@@ -464,6 +534,12 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                     rescue_scale, separation, hp)
                 extra_vals["identification_separation"] = separation
                 extra_vals["identification_rescue_scale"] = rescue_scale
+            if per_dim is not None:
+                factor_scales = update_factor_scales(
+                    factor_scales, per_dim, hp)
+                for d, (r, s) in enumerate(zip(per_dim, factor_scales)):
+                    extra_vals[f"identification_separation_dim{d}"] = r
+                    extra_vals[f"factor_rescue_scale_dim{d}"] = s
             logger.log_values(iteration, sample_diversity=diversity,
                               **extra_vals)
         if chief:
@@ -526,10 +602,17 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 # diversity_rescue_floor is set and the probe trips).
                 ident_w = 0.0 if iteration < int(getattr(
                     hp, "identification_warmup", 0)) else rescue_scale
-                state, metrics, fake_pair = g_step(state, sharded,
-                                                   jnp.float32(g_lr),
-                                                   jnp.float32(attn_w),
-                                                   jnp.float32(ident_w))
+                if factor_scales:
+                    # Traced vector — updating it at a validation boundary
+                    # recompiles nothing (redraw_code dim_weights).
+                    state, metrics, fake_pair = g_step(
+                        state, sharded, jnp.float32(g_lr),
+                        jnp.float32(attn_w), jnp.float32(ident_w),
+                        jnp.asarray(factor_scales, jnp.float32))
+                else:
+                    state, metrics, fake_pair = g_step(
+                        state, sharded, jnp.float32(g_lr),
+                        jnp.float32(attn_w), jnp.float32(ident_w))
                 # (mel, lengths): teacher-forced mel + batch lengths, or the
                 # free-running rollout + gate lengths under
                 # hp.adversarial_rollouts (see train.step.g_step).

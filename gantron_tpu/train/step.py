@@ -107,7 +107,7 @@ def apply_deferred_dw(hp, grads, dw_aux, d_off):
     return out
 
 
-def redraw_code(key, code, code_levels, subset=False):
+def redraw_code(key, code, code_levels, subset=False, dim_weights=None):
     """Diversity-pair code redraw (config.py diversity_weight).
 
     Discrete (code_levels >= 2): shift by a nonzero offset mod L so the
@@ -122,7 +122,16 @@ def redraw_code(key, code, code_levels, subset=False):
     all-dims flip (0,0)<->(1,1) / (0,1)<->(1,0) — the reward never asks a
     SINGLE dim's flip to move the output, which is exactly the per-dim
     control a factorized (disentangled) code needs. Single-dim codes are
-    unaffected (the nonempty subset is that dim)."""
+    unaffected (the nonempty subset is that dim).
+
+    ``dim_weights`` (subset mode only; config.py factor_rescue_floor): a
+    traced ``(dims,)`` positive vector from the factor-aware rescue
+    controller. The guaranteed dim is drawn ~ ``dim_weights`` (instead of
+    uniformly) and other dims join the subset with probability
+    ``0.5 * w_d / max(w)`` (instead of 0.5) — concentrated weights make
+    the pairs mostly single-dim flips of the weak dim, which then owes
+    the full diversity contrast on its own. Uniform weights reproduce the
+    unweighted form's distribution exactly (different draws, same law)."""
     if code_levels == 0:
         return jax.random.uniform(key, code.shape)
     k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
@@ -130,15 +139,38 @@ def redraw_code(key, code, code_levels, subset=False):
     if subset and dims > 1:
         k_off, k_mask, k_force = jax.random.split(key, 3)
         off = jax.random.randint(k_off, code.shape, 1, code_levels)
-        mask = jax.random.bernoulli(k_mask, 0.5, code.shape)
-        # Guarantee a nonempty subset: one uniformly-drawn dim always
-        # shifts, so the pair can never be identical.
-        force = jax.nn.one_hot(
-            jax.random.randint(k_force, code.shape[:-1], 0, dims), dims,
-            dtype=bool)
+        if dim_weights is None:
+            mask = jax.random.bernoulli(k_mask, 0.5, code.shape)
+            force_idx = jax.random.randint(
+                k_force, code.shape[:-1], 0, dims)
+        else:
+            w = jnp.asarray(dim_weights, jnp.float32)
+            mask_p = 0.5 * w / jnp.maximum(jnp.max(w), 1e-9)
+            mask = jax.random.bernoulli(
+                k_mask, jnp.broadcast_to(mask_p, code.shape))
+            force_idx = jax.random.categorical(
+                k_force, jnp.log(jnp.maximum(w, 1e-9)),
+                shape=code.shape[:-1])
+        # Guarantee a nonempty subset: one drawn dim always shifts, so
+        # the pair can never be identical.
+        force = jax.nn.one_hot(force_idx, dims, dtype=bool)
         off = jnp.where(mask | force, off, 0)
     else:
         off = jax.random.randint(key, code.shape, 1, code_levels)
+    return (((k + off) % code_levels).astype(jnp.float32)
+            + 0.5) / code_levels
+
+
+def shift_code_masked(key, code, code_levels, mask):
+    """Shift EXACTLY the masked code dims to a different value (discrete:
+    nonzero offset mod L; continuous: independent U[0,1) redraw); other
+    dims unchanged. The single-dim building block of the modularity
+    triple (config.py code_modularity_weight)."""
+    if code_levels == 0:
+        return jnp.where(mask, jax.random.uniform(key, code.shape), code)
+    k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
+    off = jnp.where(mask, jax.random.randint(key, code.shape, 1,
+                                             code_levels), 0)
     return (((k + off) % code_levels).astype(jnp.float32)
             + 0.5) / code_levels
 
@@ -209,9 +241,16 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         return (k.astype(jnp.float32) + 0.5) / code_levels
 
     subset_redraw = bool(getattr(hp, "diversity_subset_redraw", False))
+    if (float(getattr(hp, "factor_rescue_floor", 0.0) or 0.0) > 0
+            and not subset_redraw):
+        raise ValueError(
+            "factor_rescue_floor > 0 requires diversity_subset_redraw=True: "
+            "the factor-aware rescue's actuator is the weighted subset "
+            "redraw (config.py factor_rescue_floor)")
 
-    def _redraw_code(key, code):
-        return redraw_code(key, code, code_levels, subset=subset_redraw)
+    def _redraw_code(key, code, dim_weights=None):
+        return redraw_code(key, code, code_levels, subset=subset_redraw,
+                           dim_weights=dim_weights)
     roll_decode = rollouts or style_recon or diversity
     inject_style = style_recon or diversity
     if roll_decode and getattr(hp, "quantized_inference", False):
@@ -241,7 +280,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
     deferred_dw = bool(getattr(hp, "deferred_dw", False))
 
     # ---------------- generator ----------------
-    def g_step(state, batch: Batch, g_lr, attn_weight, ident_scale=1.0):
+    def g_step(state, batch: Batch, g_lr, attn_weight, ident_scale=1.0,
+               dim_weights=None):
         """One fused generator update. Returns (state, metrics,
         (fake_mel, fake_lengths)) — the fake pair feeds the loop's ring
         buffer for subsequent D steps: the teacher-forced mel with the
@@ -251,7 +291,11 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         ``ident_scale`` (traced, 0/1) gates the InfoGAN identification
         terms for hp.identification_warmup (config.py): the loop passes 0
         during warm-up so the run is a pure rollout GAN until D has
-        anchored the manifold, then 1 — same compiled graph throughout."""
+        anchored the manifold, then 1 — same compiled graph throughout.
+
+        ``dim_weights`` (traced (code_dims,) or None): the factor-aware
+        rescue controller's per-dim redraw weights (config.py
+        factor_rescue_floor; redraw_code docstring). None = uniform."""
         (rng, k_drop, k_noise, k_disc, k_roll, k_roll_noise,
          k_roll_disc) = jax.random.split(state.rng, 7)
 
@@ -351,7 +395,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                     # clamped at tau, rewarded.
                     redraw = _redraw_code(
                         jax.random.fold_in(k_roll_noise, 2),
-                        style[:, :, :code_dims])
+                        style[:, :, :code_dims], dim_weights)
                     style2 = jnp.concatenate(
                         [redraw, style[:, :, code_dims:]], axis=-1)
                     roll2 = generator.apply(

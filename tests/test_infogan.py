@@ -213,6 +213,40 @@ def test_redraw_code_subset_semantics():
     assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_redraw_code_dim_weights():
+    """Weighted subset redraw (factor_rescue_floor's actuator): with
+    weights concentrated on one dim, nearly every pair is a single-dim
+    flip of THAT dim (the guaranteed dim follows the weights and other
+    dims join with probability 0.5 * w_d / max(w)); pairs still never
+    coincide; uniform weights keep both dims active like the unweighted
+    form."""
+    from gantron_tpu.train.step import redraw_code
+
+    code = jnp.full((256, 1, 2), 0.25)
+    heavy = np.asarray(redraw_code(
+        jax.random.PRNGKey(2), code, 2, subset=True,
+        dim_weights=jnp.asarray([1000.0, 1.0])))
+    flipped = heavy != 0.25
+    n_flipped = flipped.sum(axis=-1).ravel()
+    assert (n_flipped >= 1).all()  # nonempty guarantee survives weighting
+    # Dim 0 carries ~all the contrast: it flips on virtually every pair,
+    # dim 1 only at its ~0.05% residual rates.
+    assert flipped[:, 0, 0].mean() > 0.98
+    assert flipped[:, 0, 1].mean() < 0.05
+
+    uniform = np.asarray(redraw_code(
+        jax.random.PRNGKey(2), code, 2, subset=True,
+        dim_weights=jnp.asarray([1.0, 1.0])))
+    uflip = uniform != 0.25
+    un = uflip.sum(axis=-1).ravel()
+    assert (un >= 1).all()
+    # Same LAW as the unweighted form: both dims flip alone sometimes,
+    # the joint flip still occurs.
+    for d in range(2):
+        assert (uflip[:, 0, d] & (un == 1)).sum() > 0
+    assert (un == 2).any()
+
+
 def test_coded_style_semantics():
     """Serving-side counterpart of the training code grid: coded_style
     pins the code prefix to (k + 0.5) / L — the exact values the trained

@@ -100,6 +100,77 @@ def test_update_rescue_scale_controller():
     assert update_rescue_scale(5.0, 0.0, hp_off) == 1.0
 
 
+def test_update_factor_scales_controller():
+    """Per-dim controller law (config.py factor_rescue_floor): a dim whose
+    separation ratio sits below the floor escalates ITS weight (capped);
+    healthy dims decay toward 1 — independently per dim."""
+    from gantron_tpu.train.loop import update_factor_scales
+
+    hp = tiny_hp(factor_rescue_floor=2.18, diversity_rescue_gain=2.0,
+                 diversity_rescue_max=8.0)
+    s = [1.0, 1.0]
+    s = update_factor_scales(s, [0.5, 3.5], hp)  # dim0 sick, dim1 healthy
+    assert s == [2.0, 1.0]
+    s = update_factor_scales(s, [0.5, 3.5], hp)
+    assert s == [4.0, 1.0]
+    for _ in range(3):
+        s = update_factor_scales(s, [0.5, 3.5], hp)
+    assert s == [8.0, 1.0]  # caps at diversity_rescue_max
+    s = update_factor_scales(s, [5.0, 3.5], hp)  # dim0 recovered -> decay
+    assert s == [4.0, 1.0]
+    for _ in range(5):
+        s = update_factor_scales(s, [5.0, 3.5], hp)
+    assert s == [1.0, 1.0]  # never below 1 (weights, not penalties)
+
+    hp_off = tiny_hp()
+    assert update_factor_scales([4.0, 2.0], [0.0, 0.0], hp_off) == [1.0, 1.0]
+
+
+def test_factor_rescue_escalates_and_logs(tmp_path):
+    """With an impossibly high per-dim floor every validation trips the
+    factor controller on every dim: the logged per-dim scales escalate by
+    the gain while the per-dim separation sensor stays finite."""
+    hp = tiny_hp(validation_sample_diversity=3,
+                 factor_rescue_floor=1e9, diversity_rescue_gain=3.0,
+                 diversity_rescue_max=4.5,
+                 adversarial_rollouts=True, diversity_weight=0.5,
+                 diversity_cap=0.9, diversity_subset_redraw=True,
+                 style_code_dims=2, style_code_levels=2,
+                 iterations=20, iters_per_checkpoint=5)
+    out_dir = str(tmp_path / "run")
+    logger = MetricLogger(out_dir, run_name="test")
+    train(out_dir, None, False, hp, "synthetic", logger=logger)
+    records = [json.loads(l)
+               for l in open(os.path.join(out_dir, "test.metrics.jsonl"))]
+    for d in (0, 1):
+        scales = [r[f"Factor rescue scale dim{d}"] for r in records
+                  if f"Factor rescue scale dim{d}" in r]
+        assert scales == [3.0, 4.5, 4.5, 4.5]
+        seps = [r[f"Identification separation dim{d}"] for r in records
+                if f"Identification separation dim{d}" in r]
+        assert len(seps) == len(scales)
+        assert all(np.isfinite(s) and s >= 0 for s in seps)
+
+
+def test_factor_rescue_guards(tmp_path):
+    import pytest
+
+    # Multi-dim sensor needs a multi-dim code.
+    hp = tiny_hp(factor_rescue_floor=2.18, validation_sample_diversity=3,
+                 adversarial_rollouts=True, diversity_weight=0.5,
+                 diversity_subset_redraw=True)
+    with pytest.raises(ValueError, match="style_code_dims"):
+        train(str(tmp_path / "a"), None, False, hp, "synthetic",
+              logger=MetricLogger(None, quiet=True))
+    # The actuator is the weighted SUBSET redraw.
+    hp = tiny_hp(factor_rescue_floor=2.18, validation_sample_diversity=3,
+                 adversarial_rollouts=True, diversity_weight=0.5,
+                 style_code_dims=2, style_code_levels=2)
+    with pytest.raises(ValueError, match="diversity_subset_redraw"):
+        train(str(tmp_path / "b"), None, False, hp, "synthetic",
+              logger=MetricLogger(None, quiet=True))
+
+
 def test_rescue_requires_probe_and_terms(tmp_path):
     import pytest
 
