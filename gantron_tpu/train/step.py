@@ -175,6 +175,24 @@ def shift_code_masked(key, code, code_levels, mask):
             + 0.5) / code_levels
 
 
+def delta_orthogonality(base_mel, mel_i, mel_j, len_base, len_i, len_j):
+    """Mean |cosine| between the two per-dim output deltas of a modularity
+    triple (config.py code_modularity_weight): deltas occupying disjoint
+    output structure (e.g. disjoint mel bands) score ~0, deltas driving
+    the same channel score ~1. Frames past every decode's gate stop are
+    masked out; a dead dim (|delta| ~ 0) contributes ~0 — deadness is the
+    diversity reward's job, not the orthogonality penalty's."""
+    tri_len = jnp.maximum(jnp.maximum(len_base, len_i), len_j)
+    m3 = (jnp.arange(base_mel.shape[2])[None, :]
+          < tri_len[:, None]).astype(jnp.float32)[:, None, :]
+    d_vec_i = (mel_i - base_mel) * m3
+    d_vec_j = (mel_j - base_mel) * m3
+    num = jnp.sum(d_vec_i * d_vec_j, axis=(1, 2))
+    den = jnp.sqrt(jnp.sum(d_vec_i * d_vec_i, axis=(1, 2))
+                   * jnp.sum(d_vec_j * d_vec_j, axis=(1, 2)))
+    return jnp.mean(jnp.abs(num) / jnp.maximum(den, 1e-6))
+
+
 def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
@@ -217,6 +235,20 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         raise ValueError(
             "diversity_weight > 0 requires use_noise=True with "
             "noise_size > 0 (there is no latent to diversify over)")
+    mod_w = float(getattr(hp, "code_modularity_weight", 0.0))
+    modularity = mod_w > 0
+    if modularity:
+        if not diversity or div_cap <= 0:
+            raise ValueError(
+                "code_modularity_weight > 0 requires diversity_weight > 0 "
+                "and diversity_cap > 0: the modularity triple extends the "
+                "saturating diversity stage (config.py "
+                "code_modularity_weight)")
+        if int(getattr(hp, "style_code_dims", 0)) < 2:
+            raise ValueError(
+                "code_modularity_weight > 0 requires style_code_dims >= 2: "
+                "modular binding is only defined between distinct code "
+                "dims")
     code_dims = int(getattr(hp, "style_code_dims", 0))
     if code_dims > generator.noise_size:
         raise ValueError(
@@ -331,6 +363,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             recon_loss = jnp.zeros(())
             div_loss = jnp.zeros(())
             div_ratio = jnp.zeros(())
+            mod_pen = jnp.zeros(())
             if roll_decode:
                 # Free-running decode of the SAME batch: fresh noise, no
                 # teacher forcing, pad-masked attention. Differentiable end
@@ -387,62 +420,121 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         (pred.astype(jnp.float32)
                          - style[:, 0, :code_dims]) ** 2)
                 if diversity:
-                    # Second rollout: redraw ONLY the code dims (nuisance
-                    # dims and the dropout key shared — per-step dropout
-                    # masks derive deterministically from the passed rng),
-                    # so the two decodes differ exactly by the code.
-                    # Per-sample output-distance per unit code-distance,
-                    # clamped at tau, rewarded.
-                    redraw = _redraw_code(
-                        jax.random.fold_in(k_roll_noise, 2),
-                        style[:, :, :code_dims], dim_weights)
-                    style2 = jnp.concatenate(
-                        [redraw, style[:, :, code_dims:]], axis=-1)
-                    roll2 = generator.apply(
-                        {"params": _cast_in(g_params),
-                         "batch_stats": state.g_batch_stats},
-                        batch.text, style2, batch.emotions, batch.speaker,
-                        batch.mels.shape[2] // K,
-                        method=generator.infer,
-                        text_lengths=batch.text_lengths,
-                        rngs={"dropout": k_roll, "noise": k_roll_noise})
-                    # The rollout scan zeroes mel frames past each sample's
-                    # gate stop (tacotron2.py _open_step), so averaging over
-                    # the full padded grid would (a) dilute d_out by the
-                    # post-stop zeros and (b) pay full-mel reward over
-                    # [min_len, max_len) when the code merely moves the stop
-                    # step. Average over each PAIR's max length instead:
-                    # frames where one decode has stopped and the other
-                    # hasn't still count (that IS an output difference
-                    # serving would produce), but the denominator is the
-                    # frames either decode actually emits.
-                    roll2_mel = roll2[1].astype(jnp.float32)
-                    pair_len = jnp.maximum(roll_lengths, roll2[4])
-                    T_roll = roll_mel.shape[2]
-                    frame_mask = (jnp.arange(T_roll)[None, :]
-                                  < pair_len[:, None]).astype(jnp.float32)
-                    d_out = (jnp.sum(jnp.abs(roll_mel - roll2_mel)
-                                     * frame_mask[:, None, :], axis=(1, 2))
-                             / (roll_mel.shape[1]
-                                * jnp.maximum(pair_len, 1)))
-                    if div_cap > 0:
-                        # Output-unit saturation (config.py diversity_cap):
-                        # reward in [0, 1], zero gradient past the cap —
-                        # the ratio form below measurably "watermarks"
-                        # (off-manifold spread pays until d_out = tau*d_z,
-                        # far beyond a mode flip for large code redraws).
-                        div_ratio = jnp.mean(
-                            jnp.minimum(d_out, div_cap)) / div_cap
+                    def _roll_again(style_x):
+                        # Re-decode with the dropout key and nuisance dims
+                        # SHARED (per-step dropout masks derive
+                        # deterministically from the passed rng), so the
+                        # decodes differ exactly by the injected code.
+                        r2 = generator.apply(
+                            {"params": _cast_in(g_params),
+                             "batch_stats": state.g_batch_stats},
+                            batch.text, style_x, batch.emotions,
+                            batch.speaker, batch.mels.shape[2] // K,
+                            method=generator.infer,
+                            text_lengths=batch.text_lengths,
+                            rngs={"dropout": k_roll, "noise": k_roll_noise})
+                        return r2[1].astype(jnp.float32), r2[4]
+
+                    def _pair_d_out(mel2, len2):
+                        # The rollout scan zeroes mel frames past each
+                        # sample's gate stop (tacotron2.py _open_step), so
+                        # averaging over the full padded grid would (a)
+                        # dilute d_out by the post-stop zeros and (b) pay
+                        # full-mel reward over [min_len, max_len) when the
+                        # code merely moves the stop step. Average over
+                        # each PAIR's max length instead: frames where one
+                        # decode has stopped and the other hasn't still
+                        # count (that IS an output difference serving
+                        # would produce), but the denominator is the
+                        # frames either decode actually emits.
+                        pair_len = jnp.maximum(roll_lengths, len2)
+                        T_roll = roll_mel.shape[2]
+                        frame_mask = (jnp.arange(T_roll)[None, :]
+                                      < pair_len[:, None]).astype(
+                                          jnp.float32)
+                        return (jnp.sum(jnp.abs(roll_mel - mel2)
+                                        * frame_mask[:, None, :],
+                                        axis=(1, 2))
+                                / (roll_mel.shape[1]
+                                   * jnp.maximum(pair_len, 1)))
+
+                    code = style[:, :, :code_dims]
+                    if modularity:
+                        # Modularity triple (config.py
+                        # code_modularity_weight): base + dim-i flip +
+                        # dim-j flip. Each single-dim pair owes the full
+                        # saturating contrast on its own, and the two
+                        # per-dim output deltas are pushed ORTHOGONAL —
+                        # the finite-difference surrogate of the Hessian
+                        # Penalty's off-diagonal term (Peebles et al.,
+                        # ECCV 2020): dims binding disjoint output
+                        # structure score 0, dims driving the same
+                        # channel score ~1.
+                        k_i = jax.random.fold_in(k_roll_noise, 3)
+                        B = batch.text.shape[0]
+                        if dim_weights is None:
+                            i_idx = jax.random.randint(
+                                k_i, (B,), 0, code_dims)
+                        else:
+                            # Factor-aware rescue composes: the weak dim
+                            # is probed (as delta i) more often.
+                            w = jnp.asarray(dim_weights, jnp.float32)
+                            i_idx = jax.random.categorical(
+                                k_i, jnp.log(jnp.maximum(w, 1e-9)),
+                                shape=(B,))
+                        j_idx = (i_idx + jax.random.randint(
+                            jax.random.fold_in(k_roll_noise, 4), (B,), 1,
+                            code_dims)) % code_dims
+                        oh = lambda idx: jax.nn.one_hot(
+                            idx, code_dims, dtype=bool)[:, None, :]
+                        nuis = style[:, :, code_dims:]
+                        code_i = shift_code_masked(
+                            jax.random.fold_in(k_roll_noise, 5), code,
+                            code_levels, oh(i_idx))
+                        code_j = shift_code_masked(
+                            jax.random.fold_in(k_roll_noise, 6), code,
+                            code_levels, oh(j_idx))
+                        mel_i, len_i = _roll_again(
+                            jnp.concatenate([code_i, nuis], axis=-1))
+                        mel_j, len_j = _roll_again(
+                            jnp.concatenate([code_j, nuis], axis=-1))
+                        d_i = _pair_d_out(mel_i, len_i)
+                        d_j = _pair_d_out(mel_j, len_j)
+                        div_ratio = (jnp.mean(jnp.minimum(d_i, div_cap))
+                                     + jnp.mean(jnp.minimum(d_j, div_cap))
+                                     ) / (2 * div_cap)
+                        mod_pen = delta_orthogonality(
+                            roll_mel, mel_i, mel_j, roll_lengths, len_i,
+                            len_j)
                     else:
-                        d_z = jnp.mean(
-                            jnp.abs(style[:, :, :code_dims] - redraw),
-                            axis=(1, 2))
-                        div_ratio = jnp.mean(jnp.minimum(
-                            d_out / jnp.maximum(d_z, 1e-6), div_tau))
+                        # Second rollout: redraw ONLY the code dims.
+                        # Per-sample output-distance per unit
+                        # code-distance, clamped at tau, rewarded.
+                        redraw = _redraw_code(
+                            jax.random.fold_in(k_roll_noise, 2), code,
+                            dim_weights)
+                        mel2, len2 = _roll_again(jnp.concatenate(
+                            [redraw, style[:, :, code_dims:]], axis=-1))
+                        d_out = _pair_d_out(mel2, len2)
+                        if div_cap > 0:
+                            # Output-unit saturation (config.py
+                            # diversity_cap): reward in [0, 1], zero
+                            # gradient past the cap — the ratio form below
+                            # measurably "watermarks" (off-manifold spread
+                            # pays until d_out = tau*d_z, far beyond a
+                            # mode flip for large code redraws).
+                            div_ratio = jnp.mean(
+                                jnp.minimum(d_out, div_cap)) / div_cap
+                        else:
+                            d_z = jnp.mean(
+                                jnp.abs(code - redraw), axis=(1, 2))
+                            div_ratio = jnp.mean(jnp.minimum(
+                                d_out / jnp.maximum(d_z, 1e-6), div_tau))
                     div_loss = -div_ratio
             total = (taco + adv + roll_adv
                      + ident_scale * (style_recon_w * recon_loss
-                                      + div_w * div_loss)
+                                      + div_w * div_loss
+                                      + mod_w * mod_pen)
                      + attn_weight * attn_l)
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
@@ -456,6 +548,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 aux["style_reconstruction_loss"] = recon_loss
             if diversity:
                 aux["style_diversity_ratio"] = div_ratio
+            if modularity:
+                aux["code_modularity_penalty"] = mod_pen
             return total, aux
 
         if deferred_dw:

@@ -72,6 +72,27 @@ VARIANTS = {
     # the full cap on their own.
     "bit2x2_subset": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
                           diversity_subset_redraw=True),
+    # Modularity arm (config.py code_modularity_weight): the measured
+    # subset-arm failures are factor collapse (a dead dim) and entangled
+    # binding (both dims driving one band, joint-identified at coverage
+    # 0.5-0.75). The modularity triple decodes base + dim-i flip +
+    # dim-j flip, makes EVERY dim owe the full saturating contrast every
+    # step (strictly stronger than the random subset), and pushes the two
+    # per-dim output deltas orthogonal (the Hessian-Penalty-style
+    # off-diagonal term) — the direct pressure toward axis-aligned,
+    # collapse-free binding.
+    "bit2x2_mod": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
+                       diversity_subset_redraw=True,
+                       code_modularity_weight=1.0),
+    # Factor-aware rescue arm (config.py factor_rescue_floor): the subset
+    # config plus the calibrated per-dim collapse controller — when a code
+    # dim's per-dim separation ratio falls below the 6/6-calibrated floor
+    # (2.18), the weighted subset redraw concentrates diversity contrast
+    # on that dim. Tests whether the round's closed-loop rescue transfers
+    # to FACTOR collapse (the diagonal controller is measurably blind).
+    "bit2x2_rescue": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
+                          diversity_subset_redraw=True,
+                          factor_rescue_floor=2.18),
     # The MSE identification floor.
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
 }

@@ -255,3 +255,133 @@ def test_separation_grid_styles_per_dim():
 
     with pytest.raises(ValueError):
         separation_grid_styles(hp, L, S, key, dim=2)
+
+
+# ---------------- code-modularity term (hp.code_modularity_weight) ------
+
+
+def test_shift_code_masked():
+    """shift_code_masked: EXACTLY the masked dims move to a different
+    grid level; unmasked dims are untouched; values stay on the grid."""
+    from gantron_tpu.train.step import shift_code_masked
+
+    code = jnp.full((32, 1, 3), 0.25)
+    mask = jnp.zeros((32, 1, 3), bool).at[:, :, 1].set(True)
+    out = np.asarray(shift_code_masked(jax.random.PRNGKey(0), code, 2,
+                                       mask))
+    assert np.all(out[:, :, [0, 2]] == 0.25)
+    assert np.all(out[:, :, 1] == 0.75)  # 2-level: the flip
+    assert set(np.unique(out).tolist()) <= {0.25, 0.75}
+
+    # 4-level: masked dim always lands on a DIFFERENT grid value.
+    code4 = jnp.full((64, 1, 2), 0.125)  # level 0 of 4
+    m4 = jnp.zeros((64, 1, 2), bool).at[:, :, 0].set(True)
+    out4 = np.asarray(shift_code_masked(jax.random.PRNGKey(1), code4, 4,
+                                        m4))
+    assert np.all(out4[:, :, 1] == 0.125)
+    assert np.all(out4[:, :, 0] != 0.125)
+    assert set(np.unique(out4).tolist()) <= {0.125, 0.375, 0.625, 0.875}
+
+    # Continuous codes: masked dim redrawn U[0,1).
+    outc = np.asarray(shift_code_masked(jax.random.PRNGKey(2), code, 0,
+                                        mask))
+    assert np.all(outc[:, :, [0, 2]] == 0.25)
+    assert np.all((0 <= outc[:, :, 1]) & (outc[:, :, 1] < 1))
+
+
+def test_delta_orthogonality_law():
+    """delta_orthogonality: deltas on disjoint mel bands score ~0, deltas
+    driving the same band score ~1, a dead dim contributes ~0, and frames
+    past every decode's stop are ignored."""
+    from gantron_tpu.train.step import delta_orthogonality
+
+    B, C, T = 2, 8, 10
+    base = jnp.zeros((B, C, T))
+    full = jnp.full((B,), T)
+    band_lo = jnp.zeros((B, C, T)).at[:, :4, :].set(1.0)
+    band_hi = jnp.zeros((B, C, T)).at[:, 4:, :].set(1.0)
+    # Disjoint bands -> orthogonal.
+    assert float(delta_orthogonality(base, band_lo, band_hi, full, full,
+                                     full)) < 1e-5
+    # Same band (even with opposite sign) -> |cos| = 1.
+    assert float(delta_orthogonality(base, band_lo, -0.5 * band_lo, full,
+                                     full, full)) > 1 - 1e-5
+    # Dead dim j -> ~0 penalty (den floor), never NaN.
+    dead = float(delta_orthogonality(base, band_lo, base, full, full,
+                                     full))
+    assert np.isfinite(dead) and dead < 1e-3
+    # Masking: overlap confined to frames past every stop is invisible.
+    tail_i = jnp.zeros((B, C, T)).at[:, :4, 8:].set(1.0)
+    mixed_j = band_hi.at[:, :4, 8:].set(1.0)  # overlaps tail_i at t>=8
+    short = jnp.full((B,), 8)
+    masked = float(delta_orthogonality(base, tail_i + band_lo, mixed_j,
+                                       short, short, short))
+    unmasked = float(delta_orthogonality(base, tail_i + band_lo, mixed_j,
+                                         full, full, full))
+    assert masked < 1e-5 < unmasked
+
+
+@pytest.fixture(scope="module")
+def mod_setup():
+    """Shared compiled G step for the modularity triple (3 rollouts)."""
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 diversity_weight=1.0, diversity_cap=0.9,
+                 style_code_dims=2, style_code_levels=2,
+                 code_modularity_weight=1.0)
+    batch = synth_batch(hp, B=4, T_in=10, T_out=24)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    return hp, batch, state, gen, disc, g_tx, d_tx, jax.jit(g_step)
+
+
+def test_modularity_metric_and_update(mod_setup):
+    hp, batch, state, gen, disc, g_tx, d_tx, g_step = mod_setup
+    new_state, metrics, (fake_mel, fake_lengths) = g_step(
+        state, batch, jnp.float32(1e-3), jnp.float32(10.0))
+    pen = float(metrics["code_modularity_penalty"])
+    assert np.isfinite(pen) and 0 <= pen <= 1
+    ratio = float(metrics["style_diversity_ratio"])
+    assert np.isfinite(ratio) and 0 < ratio <= 1
+    assert np.isfinite(float(metrics["generator_loss"]))
+    assert fake_mel.shape == batch.mels.shape
+    before = jax.tree.leaves(state.g_params["decoder"])
+    after = jax.tree.leaves(new_state.g_params["decoder"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(after, before))
+
+
+def test_modularity_changes_g_gradient(mod_setup):
+    """The orthogonality penalty must reach the generator: weight 1.0 vs
+    a vanishing weight (same 3-rollout graph) isolates its gradient."""
+    hp, batch, state, gen, disc, g_tx, d_tx, g_on = mod_setup
+    hp_eps = tiny_hp(adversarial_rollouts=True,
+                     style_reconstruction_weight=5.0,
+                     diversity_weight=1.0, diversity_cap=0.9,
+                     style_code_dims=2, style_code_levels=2,
+                     code_modularity_weight=1e-9)
+    g_eps, _, _ = make_train_steps(hp_eps, gen, disc, g_tx, d_tx)
+    s_on, _, _ = g_on(state, batch, jnp.float32(1e-3), jnp.float32(0.0))
+    s_eps, _, _ = jax.jit(g_eps)(state, batch, jnp.float32(1e-3),
+                                 jnp.float32(0.0))
+    d_on = np.asarray(s_on.g_params["decoder"]["proj_w"])
+    d_eps = np.asarray(s_eps.g_params["decoder"]["proj_w"])
+    assert np.abs(d_on - d_eps).max() > 0
+
+
+def test_modularity_guards():
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    # Needs the saturating diversity stage.
+    hp = tiny_hp(adversarial_rollouts=True, code_modularity_weight=1.0,
+                 style_code_dims=2, style_code_levels=2)
+    with pytest.raises(ValueError, match="diversity"):
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
+    # Needs a multi-dim code.
+    hp = tiny_hp(adversarial_rollouts=True, diversity_weight=1.0,
+                 diversity_cap=0.9, code_modularity_weight=1.0,
+                 style_code_dims=1, style_code_levels=2)
+    with pytest.raises(ValueError, match="style_code_dims"):
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
