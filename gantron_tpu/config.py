@@ -339,6 +339,28 @@ class HParams:
     # style_code_dims >= 2. Cost: one extra rollout decode per G step
     # (3 instead of the diversity pair's 2).
     code_modularity_weight: float = 0.0
+    # Additivity (mixed-second-difference) form of the modular-binding
+    # pressure: extends the modularity triple with a FOURTH decode — the
+    # joint flip of dims i and j (same per-dim offsets as the single
+    # flips) — and penalizes the masked mean-L1 of
+    # G(z_ij) - G(z_i) - G(z_j) + G(z): the discrete off-diagonal Hessian
+    # itself rather than the |cos| surrogate. Why it exists next to the
+    # cosine form: in a high-dimensional mel space near-orthogonality is
+    # FREE for noise-like deltas (two random vectors are almost
+    # orthogonal), so the |cos| penalty can be satisfied without any
+    # binding structure — whereas additivity demands the per-dim effects
+    # be deterministic and COMPOSE (the joint flip must land where both
+    # single flips predict), which noise deltas and entangled same-band
+    # effects both violate, and which directly pressures every joint mode
+    # to be reachable (coverage). A dead dim satisfies it trivially —
+    # deadness remains the per-dim diversity reward's job. In mel-L1
+    # units (same scale as diversity_cap). The joint decode also joins
+    # the saturating diversity reward (3 pairs averaged), so the all-dims
+    # contrast the subset redraw sampled is owed here too. 0 disables.
+    # Same requirements as code_modularity_weight (either or both may be
+    # on; both share the i/j draw and the 3 base decodes). Cost: one
+    # extra rollout decode per G step on top of the triple.
+    code_additivity_weight: float = 0.0
     # Identification warm-up: hold the InfoGAN terms (style_reconstruction_
     # weight AND diversity_weight) at ZERO for this many iterations, then
     # switch them on at full strength. Why: switching identification on at

@@ -193,6 +193,23 @@ def delta_orthogonality(base_mel, mel_i, mel_j, len_base, len_i, len_j):
     return jnp.mean(jnp.abs(num) / jnp.maximum(den, 1e-6))
 
 
+def delta_additivity(base_mel, mel_i, mel_j, mel_ij,
+                     len_base, len_i, len_j, len_ij):
+    """Masked mean-L1 of the mixed second difference
+    G(z_ij) - G(z_i) - G(z_j) + G(z) — the discrete off-diagonal Hessian
+    (config.py code_additivity_weight). Zero iff the two per-dim effects
+    compose additively at the joint flip; noise-like deltas and entangled
+    same-band effects both violate it. In mel-L1 units (the
+    diversity_cap scale); frames past every decode's gate stop masked."""
+    quad_len = jnp.maximum(jnp.maximum(len_base, len_i),
+                           jnp.maximum(len_j, len_ij))
+    m4 = (jnp.arange(base_mel.shape[2])[None, :]
+          < quad_len[:, None]).astype(jnp.float32)[:, None, :]
+    resid = (mel_ij - mel_i - mel_j + base_mel) * m4
+    return jnp.mean(jnp.sum(jnp.abs(resid), axis=(1, 2))
+                    / (base_mel.shape[1] * jnp.maximum(quad_len, 1)))
+
+
 def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                      real: float = 1.0):
     """Build the jit-ready generator/discriminator/eval step functions."""
@@ -236,17 +253,21 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             "diversity_weight > 0 requires use_noise=True with "
             "noise_size > 0 (there is no latent to diversify over)")
     mod_w = float(getattr(hp, "code_modularity_weight", 0.0))
+    add_w = float(getattr(hp, "code_additivity_weight", 0.0))
     modularity = mod_w > 0
-    if modularity:
+    additivity = add_w > 0
+    if modularity or additivity:
+        flag = ("code_modularity_weight" if modularity
+                else "code_additivity_weight")
         if not diversity or div_cap <= 0:
             raise ValueError(
-                "code_modularity_weight > 0 requires diversity_weight > 0 "
-                "and diversity_cap > 0: the modularity triple extends the "
-                "saturating diversity stage (config.py "
-                "code_modularity_weight)")
+                f"{flag} > 0 requires diversity_weight > 0 "
+                "and diversity_cap > 0: the per-dim flip decodes extend "
+                "the saturating diversity stage (config.py "
+                f"{flag})")
         if int(getattr(hp, "style_code_dims", 0)) < 2:
             raise ValueError(
-                "code_modularity_weight > 0 requires style_code_dims >= 2: "
+                f"{flag} > 0 requires style_code_dims >= 2: "
                 "modular binding is only defined between distinct code "
                 "dims")
     code_dims = int(getattr(hp, "style_code_dims", 0))
@@ -364,6 +385,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             div_loss = jnp.zeros(())
             div_ratio = jnp.zeros(())
             mod_pen = jnp.zeros(())
+            add_pen = jnp.zeros(())
             if roll_decode:
                 # Free-running decode of the SAME batch: fresh noise, no
                 # teacher forcing, pad-masked attention. Differentiable end
@@ -459,7 +481,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                                    * jnp.maximum(pair_len, 1)))
 
                     code = style[:, :, :code_dims]
-                    if modularity:
+                    if modularity or additivity:
                         # Modularity triple (config.py
                         # code_modularity_weight): base + dim-i flip +
                         # dim-j flip. Each single-dim pair owes the full
@@ -500,12 +522,30 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                             jnp.concatenate([code_j, nuis], axis=-1))
                         d_i = _pair_d_out(mel_i, len_i)
                         d_j = _pair_d_out(mel_j, len_j)
-                        div_ratio = (jnp.mean(jnp.minimum(d_i, div_cap))
-                                     + jnp.mean(jnp.minimum(d_j, div_cap))
-                                     ) / (2 * div_cap)
-                        mod_pen = delta_orthogonality(
-                            roll_mel, mel_i, mel_j, roll_lengths, len_i,
-                            len_j)
+                        rewards = [jnp.mean(jnp.minimum(d_i, div_cap)),
+                                   jnp.mean(jnp.minimum(d_j, div_cap))]
+                        if modularity:
+                            mod_pen = delta_orthogonality(
+                                roll_mel, mel_i, mel_j, roll_lengths,
+                                len_i, len_j)
+                        if additivity:
+                            # Fourth decode: the JOINT flip, with the same
+                            # per-dim offsets as the single flips (the
+                            # offset draw depends only on the key+mask, so
+                            # re-applying both shifts composes them).
+                            code_ij = shift_code_masked(
+                                jax.random.fold_in(k_roll_noise, 5),
+                                code_j, code_levels, oh(i_idx))
+                            mel_ij, len_ij = _roll_again(
+                                jnp.concatenate([code_ij, nuis], axis=-1))
+                            # The joint pair owes contrast too (the
+                            # all-dims flip the subset redraw sampled).
+                            rewards.append(jnp.mean(jnp.minimum(
+                                _pair_d_out(mel_ij, len_ij), div_cap)))
+                            add_pen = delta_additivity(
+                                roll_mel, mel_i, mel_j, mel_ij,
+                                roll_lengths, len_i, len_j, len_ij)
+                        div_ratio = sum(rewards) / (len(rewards) * div_cap)
                     else:
                         # Second rollout: redraw ONLY the code dims.
                         # Per-sample output-distance per unit
@@ -534,7 +574,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
             total = (taco + adv + roll_adv
                      + ident_scale * (style_recon_w * recon_loss
                                       + div_w * div_loss
-                                      + mod_w * mod_pen)
+                                      + mod_w * mod_pen
+                                      + add_w * add_pen)
                      + attn_weight * attn_l)
             aux = dict(mel_loss=mel_l, gate_loss=gate_l, attention_loss=attn_l,
                        adversarial_loss=adv, taco_loss=taco,
@@ -550,6 +591,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 aux["style_diversity_ratio"] = div_ratio
             if modularity:
                 aux["code_modularity_penalty"] = mod_pen
+            if additivity:
+                aux["code_additivity_penalty"] = add_pen
             return total, aux
 
         if deferred_dw:

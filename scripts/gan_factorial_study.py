@@ -84,6 +84,15 @@ VARIANTS = {
     "bit2x2_mod": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
                        diversity_subset_redraw=True,
                        code_modularity_weight=1.0),
+    # Additivity arm (config.py code_additivity_weight): the mixed-second-
+    # difference form — G(z_ij) must land where the two single flips
+    # compose. Unlike the |cos| surrogate (near-orthogonality is free for
+    # noise-like deltas in a high-dim mel space), additivity demands
+    # deterministic, composable per-dim effects and directly pressures
+    # every joint mode to be reachable.
+    "bit2x2_add": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
+                       diversity_subset_redraw=True,
+                       code_additivity_weight=1.0),
     # Factor-aware rescue arm (config.py factor_rescue_floor): the subset
     # config plus the calibrated per-dim collapse controller — when a code
     # dim's per-dim separation ratio falls below the 6/6-calibrated floor

@@ -385,3 +385,67 @@ def test_modularity_guards():
     with pytest.raises(ValueError, match="style_code_dims"):
         make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
                          None, None)
+
+
+def test_delta_additivity_law():
+    """delta_additivity: composing per-dim effects additively at the joint
+    flip scores 0; same-band toggling (the entangled signature: the joint
+    flip undoes what each single flip did) and noise-like deltas score
+    high; frames past every stop are ignored."""
+    from gantron_tpu.train.step import delta_additivity
+
+    B, C, T = 2, 8, 10
+    base = jnp.zeros((B, C, T))
+    full = jnp.full((B,), T)
+    band_lo = jnp.zeros((B, C, T)).at[:, :4, :].set(1.0)
+    band_hi = jnp.zeros((B, C, T)).at[:, 4:, :].set(1.0)
+    # Perfectly modular: joint = sum of singles.
+    add = float(delta_additivity(base, band_lo, band_hi,
+                                 band_lo + band_hi, full, full, full,
+                                 full))
+    assert add < 1e-6
+    # Entangled toggle: each single flip sets the SAME band, the joint
+    # flip toggles it back off -> |0 - 1 - 1 + 0| = 2 on that band.
+    tog = float(delta_additivity(base, band_lo, band_lo, base, full, full,
+                                 full, full))
+    assert tog > 0.5
+    # Noise deltas never compose: three independent patterns.
+    k = jax.random.PRNGKey(0)
+    n1, n2, n3 = (jax.random.normal(jax.random.fold_in(k, i), (B, C, T))
+                  for i in range(3))
+    noise = float(delta_additivity(base, n1, n2, n3, full, full, full,
+                                   full))
+    assert noise > 0.5
+    # Masking: violation confined past every stop is invisible.
+    tail = jnp.zeros((B, C, T)).at[:, :, 8:].set(3.0)
+    short = jnp.full((B,), 8)
+    assert float(delta_additivity(base, band_lo, band_hi,
+                                  band_lo + band_hi + tail, short, short,
+                                  short, short)) < 1e-6
+
+
+def test_additivity_step_runs_and_guards():
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 diversity_weight=1.0, diversity_cap=0.9,
+                 style_code_dims=2, style_code_levels=2,
+                 code_additivity_weight=1.0)
+    batch = synth_batch(hp, B=4, T_in=10, T_out=24)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    _, metrics, _ = jax.jit(g_step)(state, batch, jnp.float32(1e-3),
+                                    jnp.float32(10.0))
+    pen = float(metrics["code_additivity_penalty"])
+    assert np.isfinite(pen) and pen >= 0
+    # The triple's cosine penalty is NOT computed unless its weight is on.
+    assert "code_modularity_penalty" not in metrics
+    ratio = float(metrics["style_diversity_ratio"])
+    assert np.isfinite(ratio) and 0 < ratio <= 1
+
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    hp_bad = tiny_hp(adversarial_rollouts=True, code_additivity_weight=1.0,
+                     style_code_dims=2, style_code_levels=2)
+    with pytest.raises(ValueError, match="code_additivity_weight"):
+        make_train_steps(hp_bad, Tacotron2(hp_bad),
+                         make_discriminator(hp_bad), None, None)
