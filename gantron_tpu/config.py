@@ -432,6 +432,19 @@ class HParams:
     # diversity_subset_redraw=True, and the validation probe
     # (validation_sample_diversity >= 2).
     factor_rescue_floor: float = 0.0
+    # Iterations before the factor-aware controller may escalate (weights
+    # held at 1.0 = the plain subset redraw until then). Measured need
+    # (docs/TRAINING_EVIDENCE.md "Factor-aware rescue, first form"): the
+    # floor is calibrated on END-OF-TRAINING checkpoints, but every run —
+    # including ones that go on to identify — starts below it (separation
+    # needs identification to have FORMED), so an unarmed-from-iter-0
+    # controller pins all dims at max gain through the formative phase
+    # and measurably harms (1/3 joint-identified vs the plain subset
+    # redraw's 3/3 on the factorial corpus, seeds 0-2, chip). The
+    # controller is a RECOVERY device for post-formation factor collapse
+    # (measured an attractor that more training never leaves), not a
+    # bootstrapping device.
+    factor_rescue_warmup: int = 2000
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -262,7 +262,7 @@ def update_rescue_scale(scale: float, sensor: float, hp) -> float:
     return min(scale * gain, 1.0)
 
 
-def update_factor_scales(scales, per_dim, hp):
+def update_factor_scales(scales, per_dim, hp, iteration=None):
     """Factor-aware rescue controller step (config.py factor_rescue_floor).
 
     ``scales``: per-code-dim redraw weights (host floats, start at 1.0).
@@ -275,9 +275,19 @@ def update_factor_scales(scales, per_dim, hp):
     healthy dims decay back toward 1. The weights bias WHERE the subset
     redraw concentrates diversity contrast (train.step.redraw_code), a
     per-dim actuator orthogonal to the diagonal controller's global
-    ident_scale — the two cannot issue conflicting commands."""
+    ident_scale — the two cannot issue conflicting commands.
+
+    Before ``factor_rescue_warmup`` iterations the controller is unarmed
+    (weights held/decayed to 1.0): separation only exists AFTER
+    identification forms, so escalating from iteration 0 pins every dim
+    at max gain through the formative phase — measured to harm (1/3 vs
+    3/3 joint identification on the factorial corpus). Recovery device,
+    not bootstrapping device (config.py factor_rescue_warmup)."""
     floor = float(getattr(hp, "factor_rescue_floor", 0.0) or 0.0)
     if floor <= 0:
+        return [1.0] * len(scales)
+    warmup = int(getattr(hp, "factor_rescue_warmup", 0) or 0)
+    if iteration is not None and iteration < warmup:
         return [1.0] * len(scales)
     gain = max(float(getattr(hp, "diversity_rescue_gain", 2.0)), 1.0 + 1e-9)
     cap = max(float(getattr(hp, "diversity_rescue_max", 8.0)), 1.0)
@@ -536,7 +546,7 @@ def train(output_directory: str, checkpoint_path: Optional[str], warm_start:
                 extra_vals["identification_rescue_scale"] = rescue_scale
             if per_dim is not None:
                 factor_scales = update_factor_scales(
-                    factor_scales, per_dim, hp)
+                    factor_scales, per_dim, hp, iteration)
                 for d, (r, s) in enumerate(zip(per_dim, factor_scales)):
                     extra_vals[f"identification_separation_dim{d}"] = r
                     extra_vals[f"factor_rescue_scale_dim{d}"] = s

@@ -126,12 +126,34 @@ def test_update_factor_scales_controller():
     assert update_factor_scales([4.0, 2.0], [0.0, 0.0], hp_off) == [1.0, 1.0]
 
 
+def test_update_factor_scales_warmup_gate():
+    """Before factor_rescue_warmup iterations the controller is unarmed:
+    weights reset to 1.0 regardless of the sensor (separation only exists
+    after identification FORMS — an unarmed-from-iter-0 controller pins
+    every dim at max gain through the formative phase, measured to harm:
+    docs/TRAINING_EVIDENCE.md 'Factor-aware rescue, first form')."""
+    from gantron_tpu.train.loop import update_factor_scales
+
+    hp = tiny_hp(factor_rescue_floor=2.18, factor_rescue_warmup=2000,
+                 diversity_rescue_gain=2.0, diversity_rescue_max=8.0)
+    # Sick sensor before warmup: held at 1.0 (even resets escalated state).
+    assert update_factor_scales([1.0, 1.0], [0.5, 0.5], hp, 0) == [1.0, 1.0]
+    assert update_factor_scales([4.0, 2.0], [0.5, 0.5], hp,
+                                1999) == [1.0, 1.0]
+    # At/after warmup: the per-dim law applies.
+    assert update_factor_scales([1.0, 1.0], [0.5, 3.5], hp,
+                                2000) == [2.0, 1.0]
+    # iteration=None (direct controller calls, no loop context): ungated.
+    assert update_factor_scales([1.0, 1.0], [0.5, 3.5], hp) == [2.0, 1.0]
+
+
 def test_factor_rescue_escalates_and_logs(tmp_path):
     """With an impossibly high per-dim floor every validation trips the
     factor controller on every dim: the logged per-dim scales escalate by
     the gain while the per-dim separation sensor stays finite."""
     hp = tiny_hp(validation_sample_diversity=3,
-                 factor_rescue_floor=1e9, diversity_rescue_gain=3.0,
+                 factor_rescue_floor=1e9, factor_rescue_warmup=0,
+                 diversity_rescue_gain=3.0,
                  diversity_rescue_max=4.5,
                  adversarial_rollouts=True, diversity_weight=0.5,
                  diversity_cap=0.9, diversity_subset_redraw=True,
