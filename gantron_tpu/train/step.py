@@ -130,8 +130,14 @@ def redraw_code(key, code, code_levels, subset=False, dim_weights=None):
     uniformly) and other dims join the subset with probability
     ``0.5 * w_d / max(w)`` (instead of 0.5) — concentrated weights make
     the pairs mostly single-dim flips of the weak dim, which then owes
-    the full diversity contrast on its own. Uniform weights reproduce the
-    unweighted form's distribution exactly (different draws, same law)."""
+    the full diversity contrast on its own. UNIFORM weights (all equal —
+    the form is scale-invariant, so [c,..,c] is the unweighted law for
+    every c) take the EXACT unweighted draws (same keys, same samplers),
+    so an unarmed or lockstep-escalated controller is trajectory-
+    identical to the baseline — measured to matter: the collapse basin
+    is draw-sensitive, and a "same law, different draws" uniform arm
+    collapsed 2/3 seeds the baseline identified
+    (docs/TRAINING_EVIDENCE.md factor-rescue trajectory identity)."""
     if code_levels == 0:
         return jax.random.uniform(key, code.shape)
     k = jnp.round(code * code_levels - 0.5).astype(jnp.int32)
@@ -148,9 +154,20 @@ def redraw_code(key, code, code_levels, subset=False, dim_weights=None):
             mask_p = 0.5 * w / jnp.maximum(jnp.max(w), 1e-9)
             mask = jax.random.bernoulli(
                 k_mask, jnp.broadcast_to(mask_p, code.shape))
-            force_idx = jax.random.categorical(
-                k_force, jnp.log(jnp.maximum(w, 1e-9)),
-                shape=code.shape[:-1])
+            # UNIFORM weights (all equal, not just all 1.0) must be
+            # BIT-IDENTICAL to the unweighted branch: the weighted form is
+            # scale-invariant (mask_p normalizes by max(w); categorical's
+            # argmax is invariant to a constant logit shift), so [c,...,c]
+            # is the unweighted LAW for every c — but categorical and
+            # randint draw differently from the same key, and the collapse
+            # basin is draw-sensitive (see docstring). Compute both from
+            # k_force and select on the traced uniformity predicate.
+            force_idx = jnp.where(
+                jnp.all(w == w[0]),
+                jax.random.randint(k_force, code.shape[:-1], 0, dims),
+                jax.random.categorical(
+                    k_force, jnp.log(jnp.maximum(w, 1e-9)),
+                    shape=code.shape[:-1]))
         # Guarantee a nonempty subset: one drawn dim always shifts, so
         # the pair can never be identical.
         force = jax.nn.one_hot(force_idx, dims, dtype=bool)
@@ -499,11 +516,17 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                                 k_i, (B,), 0, code_dims)
                         else:
                             # Factor-aware rescue composes: the weak dim
-                            # is probed (as delta i) more often.
+                            # is probed (as delta i) more often. UNIFORM
+                            # weights select the exact unweighted draw so
+                            # an unarmed controller stays trajectory-
+                            # identical to the baseline (see redraw_code).
                             w = jnp.asarray(dim_weights, jnp.float32)
-                            i_idx = jax.random.categorical(
-                                k_i, jnp.log(jnp.maximum(w, 1e-9)),
-                                shape=(B,))
+                            i_idx = jnp.where(
+                                jnp.all(w == w[0]),
+                                jax.random.randint(k_i, (B,), 0, code_dims),
+                                jax.random.categorical(
+                                    k_i, jnp.log(jnp.maximum(w, 1e-9)),
+                                    shape=(B,)))
                         j_idx = (i_idx + jax.random.randint(
                             jax.random.fold_in(k_roll_noise, 4), (B,), 1,
                             code_dims)) % code_dims

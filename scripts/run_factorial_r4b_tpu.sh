@@ -42,7 +42,11 @@ echo "RESCUE-WARM DONE $(date)" >> "$OUT/progress.log"
 # the measured attractor; continue it under the armed controller.
 REC="$OUT/recovery"
 mkdir -p "$REC/bit2x2_rescue"
-cp /tmp/factorial_r4/bit2x2_subset/iter=6000* "$REC/bit2x2_rescue/" \
+# -r is REQUIRED: the checkpoint is an Orbax OCDBT DIRECTORY, not a
+# file. The first run of this script omitted it; the copy silently
+# failed (stderr suppressed) and the "recovery" trained from scratch
+# (docs/TRAINING_EVIDENCE.md "Trajectory identity").
+cp -r /tmp/factorial_r4/bit2x2_subset/iter=6000* "$REC/bit2x2_rescue/" \
     2>/dev/null || true
 run python scripts/gan_factorial_study.py --variant bit2x2_rescue \
     --seed 0 --iterations 9000 -o "$REC"

@@ -246,6 +246,65 @@ def test_redraw_code_dim_weights():
         assert (uflip[:, 0, d] & (un == 1)).sum() > 0
     assert (un == 2).any()
 
+    # UNIFORM weights must be BIT-IDENTICAL to the unweighted branch
+    # (not just same-law): the collapse basin is draw-sensitive, so an
+    # unarmed factor-rescue controller has to be trajectory-identical to
+    # the baseline (measured: a same-law/different-draws uniform arm
+    # collapsed 2/3 seeds the baseline identified). The weighted form is
+    # scale-invariant, so EVERY uniform vector [c, c] — not just ones —
+    # is the unweighted law and must take the unweighted draws (a
+    # lockstep-escalated controller, e.g. both dims below floor, stays
+    # on the baseline trajectory too). Exercise eager and jit (weights
+    # traced) — the selection predicate is traced.
+    unweighted = np.asarray(redraw_code(
+        jax.random.PRNGKey(2), code, 2, subset=True))
+    np.testing.assert_array_equal(uniform, unweighted)
+    jit_redraw = jax.jit(
+        lambda k, c, w: redraw_code(k, c, 2, subset=True, dim_weights=w))
+    for c in (1.0, 4.0, 8.0):
+        np.testing.assert_array_equal(
+            np.asarray(jit_redraw(jax.random.PRNGKey(2), code,
+                                  jnp.full(2, c))), unweighted)
+    # Non-uniform weights still take the weighted draw under the same key.
+    assert not np.array_equal(heavy, unweighted)
+
+
+def test_factor_rescue_unarmed_trajectory_identity():
+    """An UNARMED factor-rescue controller (all per-dim weights 1.0) must
+    leave the G step bit-identical to a run with no controller at all.
+    Measured to matter (docs/TRAINING_EVIDENCE.md factor-rescue warmup):
+    the collapse basin is draw-sensitive, and an earlier same-law/
+    different-draws unarmed path collapsed a factorial seed the baseline
+    identified. Pinned at the step level: one g_step with
+    dim_weights=ones equals one with dim_weights=None on every updated
+    generator param; a genuinely escalated weight vector diverges."""
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 diversity_weight=1.0, diversity_cap=0.9,
+                 diversity_subset_redraw=True,
+                 style_code_dims=2, style_code_levels=2)
+    batch = synth_batch(hp, B=4, T_in=10, T_out=24)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    step = jax.jit(g_step)
+    args = (state, batch, jnp.float32(1e-3), jnp.float32(0.0),
+            jnp.float32(1.0))
+    base, _, _ = step(*args)
+    unarmed, _, _ = step(*args, jnp.ones(2, jnp.float32))
+    # A lockstep-escalated controller (both dims below floor -> both at
+    # the same gain) is uniform too, hence still the baseline trajectory.
+    lockstep, _, _ = step(*args, jnp.full(2, 4.0, jnp.float32))
+    armed, _, _ = step(*args, jnp.asarray([8.0, 1.0], jnp.float32))
+    base_leaves = jax.tree_util.tree_leaves(base.g_params)
+    unarmed_leaves = jax.tree_util.tree_leaves(unarmed.g_params)
+    lockstep_leaves = jax.tree_util.tree_leaves(lockstep.g_params)
+    armed_leaves = jax.tree_util.tree_leaves(armed.g_params)
+    for b, u, s in zip(base_leaves, unarmed_leaves, lockstep_leaves):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(u))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(s))
+    assert any(not np.array_equal(np.asarray(b), np.asarray(a))
+               for b, a in zip(base_leaves, armed_leaves))
+
 
 def test_coded_style_semantics():
     """Serving-side counterpart of the training code grid: coded_style
