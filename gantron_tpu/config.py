@@ -361,6 +361,24 @@ class HParams:
     # on; both share the i/j draw and the 3 base decodes). Cost: one
     # extra rollout decode per G step on top of the triple.
     code_additivity_weight: float = 0.0
+    # REWARD-shaped binding (the measured lesson of both penalty forms
+    # above — docs/TRAINING_EVIDENCE.md "Binding penalties": every
+    # penalty on the STRUCTURE of a code effect is minimized by a zero
+    # code effect, so penalties accelerate collapse). When True, the
+    # modularity-triple decodes run (base + dim-i flip + dim-j flip) and
+    # each single-dim flip's saturating diversity contrast is SCALED by
+    # the sine between the two per-dim output deltas: entangled
+    # (parallel, same-band) effects earn ~nothing, a dead dim earns
+    # ~nothing through its own contrast, and only live orthogonal
+    # (disjoint-structure) effects collect the full reward — there is no
+    # term a code-ignoring generator can satisfy. A dead SIBLING does not
+    # suppress a live dim (cos -> 0 -> sin -> 1 at the denominator
+    # floor). Composes with the factor-aware rescue (the weighted i-draw)
+    # and with either penalty (the sin scaling and the penalties share
+    # the triple decodes). Requires diversity_weight > 0,
+    # diversity_cap > 0, style_code_dims >= 2. Cost: one extra rollout
+    # decode per G step (3 instead of the diversity pair's 2).
+    code_orthogonal_reward: bool = False
     # Identification warm-up: hold the InfoGAN terms (style_reconstruction_
     # weight AND diversity_weight) at ZERO for this many iterations, then
     # switch them on at full strength. Why: switching identification on at

@@ -192,13 +192,13 @@ def shift_code_masked(key, code, code_levels, mask):
             + 0.5) / code_levels
 
 
-def delta_orthogonality(base_mel, mel_i, mel_j, len_base, len_i, len_j):
-    """Mean |cosine| between the two per-dim output deltas of a modularity
-    triple (config.py code_modularity_weight): deltas occupying disjoint
-    output structure (e.g. disjoint mel bands) score ~0, deltas driving
-    the same channel score ~1. Frames past every decode's gate stop are
-    masked out; a dead dim (|delta| ~ 0) contributes ~0 — deadness is the
-    diversity reward's job, not the orthogonality penalty's."""
+def delta_cos(base_mel, mel_i, mel_j, len_base, len_i, len_j):
+    """Per-sample cosine between the two per-dim output deltas of a
+    modularity triple. Frames past every decode's gate stop are masked
+    out. A dead dim (|delta| ~ 0) gives cos ~ 0 (the 1e-6 denominator
+    floor), i.e. sin ~ 1 — a dead sibling never suppresses the live
+    dim's orthogonal-component reward (config.py
+    code_orthogonal_reward); deadness is the diversity reward's job."""
     tri_len = jnp.maximum(jnp.maximum(len_base, len_i), len_j)
     m3 = (jnp.arange(base_mel.shape[2])[None, :]
           < tri_len[:, None]).astype(jnp.float32)[:, None, :]
@@ -207,7 +207,19 @@ def delta_orthogonality(base_mel, mel_i, mel_j, len_base, len_i, len_j):
     num = jnp.sum(d_vec_i * d_vec_j, axis=(1, 2))
     den = jnp.sqrt(jnp.sum(d_vec_i * d_vec_i, axis=(1, 2))
                    * jnp.sum(d_vec_j * d_vec_j, axis=(1, 2)))
-    return jnp.mean(jnp.abs(num) / jnp.maximum(den, 1e-6))
+    return num / jnp.maximum(den, 1e-6)
+
+
+def delta_orthogonality(base_mel, mel_i, mel_j, len_base, len_i, len_j):
+    """Mean |cosine| between the two per-dim output deltas of a modularity
+    triple (config.py code_modularity_weight): deltas occupying disjoint
+    output structure (e.g. disjoint mel bands) score ~0, deltas driving
+    the same channel score ~1. Measured FAILURE as a penalty
+    (docs/TRAINING_EVIDENCE.md "Binding penalties"): near-orthogonality
+    is free for noise-like deltas, and the penalty is minimized by zero
+    code effects — kept for the record/ablations."""
+    return jnp.mean(jnp.abs(delta_cos(
+        base_mel, mel_i, mel_j, len_base, len_i, len_j)))
 
 
 def delta_additivity(base_mel, mel_i, mel_j, mel_ij,
@@ -273,9 +285,11 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
     add_w = float(getattr(hp, "code_additivity_weight", 0.0))
     modularity = mod_w > 0
     additivity = add_w > 0
-    if modularity or additivity:
+    ortho_reward = bool(getattr(hp, "code_orthogonal_reward", False))
+    if modularity or additivity or ortho_reward:
         flag = ("code_modularity_weight" if modularity
-                else "code_additivity_weight")
+                else "code_additivity_weight" if additivity
+                else "code_orthogonal_reward")
         if not diversity or div_cap <= 0:
             raise ValueError(
                 f"{flag} > 0 requires diversity_weight > 0 "
@@ -498,7 +512,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                                    * jnp.maximum(pair_len, 1)))
 
                     code = style[:, :, :code_dims]
-                    if modularity or additivity:
+                    if modularity or additivity or ortho_reward:
                         # Modularity triple (config.py
                         # code_modularity_weight): base + dim-i flip +
                         # dim-j flip. Each single-dim pair owes the full
@@ -545,8 +559,29 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                             jnp.concatenate([code_j, nuis], axis=-1))
                         d_i = _pair_d_out(mel_i, len_i)
                         d_j = _pair_d_out(mel_j, len_j)
-                        rewards = [jnp.mean(jnp.minimum(d_i, div_cap)),
-                                   jnp.mean(jnp.minimum(d_j, div_cap))]
+                        if ortho_reward:
+                            # Reward-shaped binding (config.py
+                            # code_orthogonal_reward): scale each
+                            # single-dim contrast by the SINE between the
+                            # two per-dim output deltas. Entangled
+                            # (parallel) effects earn ~0, a dead dim earns
+                            # ~0 through d_i itself, orthogonal live
+                            # effects earn full — there is no term a zero
+                            # code effect can satisfy (the measured
+                            # failure mode of both binding PENALTIES,
+                            # docs/TRAINING_EVIDENCE.md).
+                            cos = delta_cos(roll_mel, mel_i, mel_j,
+                                            roll_lengths, len_i, len_j)
+                            ortho_sin = jnp.sqrt(
+                                jnp.clip(1.0 - cos * cos, 1e-6, 1.0))
+                            rewards = [
+                                jnp.mean(jnp.minimum(d_i * ortho_sin,
+                                                     div_cap)),
+                                jnp.mean(jnp.minimum(d_j * ortho_sin,
+                                                     div_cap))]
+                        else:
+                            rewards = [jnp.mean(jnp.minimum(d_i, div_cap)),
+                                       jnp.mean(jnp.minimum(d_j, div_cap))]
                         if modularity:
                             mod_pen = delta_orthogonality(
                                 roll_mel, mel_i, mel_j, roll_lengths,
@@ -616,6 +651,8 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                 aux["code_modularity_penalty"] = mod_pen
             if additivity:
                 aux["code_additivity_penalty"] = add_pen
+            if ortho_reward:
+                aux["code_orthogonal_sin"] = jnp.mean(ortho_sin)
             return total, aux
 
         if deferred_dw:

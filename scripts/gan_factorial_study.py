@@ -93,6 +93,16 @@ VARIANTS = {
     "bit2x2_add": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
                        diversity_subset_redraw=True,
                        code_additivity_weight=1.0),
+    # Reward-shaped binding (config.py code_orthogonal_reward): the subset
+    # config with each single-dim flip's diversity contrast SCALED by the
+    # sine between the two per-dim output deltas — entangled effects earn
+    # nothing, dead effects earn nothing, only live orthogonal effects
+    # collect. Designed after BOTH binding penalties measured as collapse
+    # accelerants (a zero code effect satisfies any structure penalty;
+    # docs/TRAINING_EVIDENCE.md "Binding penalties").
+    "bit2x2_ortho": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
+                         diversity_subset_redraw=True,
+                         code_orthogonal_reward=True),
     # Factor-aware rescue arm (config.py factor_rescue_floor): the subset
     # config plus the calibrated per-dim collapse controller — when a code
     # dim's per-dim separation ratio falls below the 6/6-calibrated floor

@@ -449,3 +449,73 @@ def test_additivity_step_runs_and_guards():
     with pytest.raises(ValueError, match="code_additivity_weight"):
         make_train_steps(hp_bad, Tacotron2(hp_bad),
                          make_discriminator(hp_bad), None, None)
+
+
+def test_delta_cos_signed_per_sample():
+    """delta_cos (the code_orthogonal_reward sensor): per-sample SIGNED
+    cosine — disjoint bands ~0, same band aligned ~+1, same band opposed
+    ~-1 (sin is sign-invariant, so both entangled cases earn nothing),
+    dead sibling ~0 (sin ~1: never suppresses the live dim)."""
+    from gantron_tpu.train.step import delta_cos
+
+    B, C, T = 2, 8, 10
+    base = jnp.zeros((B, C, T))
+    full = jnp.full((B,), T)
+    band_lo = jnp.zeros((B, C, T)).at[:, :4, :].set(1.0)
+    band_hi = jnp.zeros((B, C, T)).at[:, 4:, :].set(1.0)
+    ortho = np.asarray(delta_cos(base, band_lo, band_hi, full, full, full))
+    assert ortho.shape == (B,) and np.abs(ortho).max() < 1e-5
+    aligned = np.asarray(delta_cos(base, band_lo, 0.5 * band_lo, full,
+                                   full, full))
+    assert aligned.min() > 1 - 1e-5
+    opposed = np.asarray(delta_cos(base, band_lo, -0.5 * band_lo, full,
+                                   full, full))
+    assert opposed.max() < -1 + 1e-5
+    dead = np.asarray(delta_cos(base, band_lo, base, full, full, full))
+    assert np.isfinite(dead).all() and np.abs(dead).max() < 1e-3
+
+
+def test_orthogonal_reward_step_and_guards():
+    """code_orthogonal_reward (reward-shaped binding): the G step runs the
+    modularity-triple decodes with the single-dim contrasts scaled by the
+    inter-delta sine; the sin metric is logged in (0, 1]; neither PENALTY
+    metric appears (reward-only arm); the guard demands the saturating
+    diversity stage."""
+    hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+                 diversity_weight=1.0, diversity_cap=0.9,
+                 style_code_dims=2, style_code_levels=2,
+                 code_orthogonal_reward=True)
+    batch = synth_batch(hp, B=4, T_in=10, T_out=24)
+    state, gen, disc, g_tx, d_tx = create_train_state(
+        hp, jax.random.PRNGKey(0), tuple(batch))
+    g_step, _, _ = make_train_steps(hp, gen, disc, g_tx, d_tx)
+    new_state, metrics, (fake_mel, _) = jax.jit(g_step)(
+        state, batch, jnp.float32(1e-3), jnp.float32(10.0))
+    s = float(metrics["code_orthogonal_sin"])
+    assert np.isfinite(s) and 0 < s <= 1
+    assert "code_modularity_penalty" not in metrics
+    assert "code_additivity_penalty" not in metrics
+    ratio = float(metrics["style_diversity_ratio"])
+    # Scaling by sin <= 1 keeps the saturating reward in (0, 1]; at init
+    # the tiny contrasts stay strictly positive (flip guarantee).
+    assert np.isfinite(ratio) and 0 < ratio <= 1
+    assert np.isfinite(float(metrics["generator_loss"]))
+    assert fake_mel.shape == batch.mels.shape
+    before = jax.tree.leaves(state.g_params["decoder"])
+    after = jax.tree.leaves(new_state.g_params["decoder"])
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(after, before))
+
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    hp_bad = tiny_hp(adversarial_rollouts=True, code_orthogonal_reward=True,
+                     style_code_dims=2, style_code_levels=2)
+    with pytest.raises(ValueError, match="code_orthogonal_reward"):
+        make_train_steps(hp_bad, Tacotron2(hp_bad),
+                         make_discriminator(hp_bad), None, None)
+    hp_bad = tiny_hp(adversarial_rollouts=True, code_orthogonal_reward=True,
+                     diversity_weight=1.0, diversity_cap=0.9,
+                     style_code_dims=1, style_code_levels=2)
+    with pytest.raises(ValueError, match="style_code_dims"):
+        make_train_steps(hp_bad, Tacotron2(hp_bad),
+                         make_discriminator(hp_bad), None, None)
