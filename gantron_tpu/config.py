@@ -463,6 +463,19 @@ class HParams:
     # (measured an attractor that more training never leaves), not a
     # bootstrapping device.
     factor_rescue_warmup: int = 2000
+    # WHERE the factor-aware rescue's per-dim weights act
+    # (factor_rescue_floor). "redraw": bias the subset-redraw/probe draws
+    # toward the weak dim — measured HARMFUL on the factorial corpus (the
+    # diversity reward is zero-sum across dims, so concentrating contrast
+    # on the weak dim STARVES the healthy dim's maintenance reward; 600
+    # escalated iters destroyed an identified band on seed 0 —
+    # docs/TRAINING_EVIDENCE.md). "recon": weight the per-dim
+    # style-reconstruction (Q-head) errors instead — identification
+    # pressure is NOT zero-sum across dims, so escalating the weak dim
+    # leaves the healthy dim's entire objective untouched. Both actuators
+    # are bit-identical to the baseline at uniform weights. "recon"
+    # requires style_reconstruction_weight > 0.
+    factor_rescue_actuator: str = "redraw"
 
     def __post_init__(self):
         if self.n_symbols == 0:

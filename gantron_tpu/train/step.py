@@ -281,6 +281,21 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         raise ValueError(
             "diversity_weight > 0 requires use_noise=True with "
             "noise_size > 0 (there is no latent to diversify over)")
+    rescue_actuator = str(getattr(hp, "factor_rescue_actuator", "redraw")
+                          or "redraw")
+    if rescue_actuator not in ("redraw", "recon"):
+        raise ValueError(
+            f"factor_rescue_actuator={rescue_actuator!r} must be 'redraw' "
+            "(bias the subset-redraw/probe draws) or 'recon' (weight the "
+            "per-dim style-reconstruction errors) — config.py "
+            "factor_rescue_actuator")
+    if (rescue_actuator == "recon"
+            and float(getattr(hp, "factor_rescue_floor", 0.0) or 0.0) > 0
+            and not float(getattr(hp, "style_reconstruction_weight", 0.0))):
+        raise ValueError(
+            "factor_rescue_actuator='recon' with factor_rescue_floor > 0 "
+            "requires style_reconstruction_weight > 0: the recon actuator "
+            "weights exactly those per-dim reconstruction errors")
     mod_w = float(getattr(hp, "code_modularity_weight", 0.0))
     add_w = float(getattr(hp, "code_additivity_weight", 0.0))
     modularity = mod_w > 0
@@ -378,8 +393,13 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
         anchored the manifold, then 1 — same compiled graph throughout.
 
         ``dim_weights`` (traced (code_dims,) or None): the factor-aware
-        rescue controller's per-dim redraw weights (config.py
-        factor_rescue_floor; redraw_code docstring). None = uniform."""
+        rescue controller's per-dim weights (config.py
+        factor_rescue_floor). Routed by hp.factor_rescue_actuator:
+        "redraw" biases the subset-redraw/probe draws (redraw_code
+        docstring), "recon" weights the per-dim style-reconstruction
+        errors instead. None = uniform."""
+        redraw_weights = dim_weights if rescue_actuator == "redraw" else None
+        recon_weights = dim_weights if rescue_actuator == "recon" else None
         (rng, k_drop, k_noise, k_disc, k_roll, k_roll_noise,
          k_roll_disc) = jax.random.split(state.rng, 7)
 
@@ -469,9 +489,27 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         {"params": _cast_in(g_params)},
                         roll[1], roll_lengths,
                         method=generator.predict_style)
-                    recon_loss = jnp.mean(
-                        (pred.astype(jnp.float32)
-                         - style[:, 0, :code_dims]) ** 2)
+                    recon_err = (pred.astype(jnp.float32)
+                                 - style[:, 0, :code_dims]) ** 2
+                    if recon_weights is not None:
+                        # Recon actuator (config.py factor_rescue_actuator
+                        # ="recon"): concentrate IDENTIFICATION pressure on
+                        # the weak dim instead of redistributing the
+                        # zero-sum redraw (the redraw actuator starves the
+                        # healthy dim's contrast reward — measured harmful,
+                        # docs/TRAINING_EVIDENCE.md). Mean-normalized so
+                        # total pressure is weight-scale invariant; a
+                        # UNIFORM vector takes the exact unweighted mean
+                        # (bit-identical unarmed controller, same predicate
+                        # as redraw_code).
+                        w = jnp.asarray(recon_weights, jnp.float32)
+                        recon_loss = jnp.where(
+                            jnp.all(w == w[0]),
+                            jnp.mean(recon_err),
+                            jnp.mean(recon_err
+                                     * (w / jnp.mean(w))[None, :]))
+                    else:
+                        recon_loss = jnp.mean(recon_err)
                 if diversity:
                     def _roll_again(style_x):
                         # Re-decode with the dropout key and nuisance dims
@@ -525,7 +563,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         # channel score ~1.
                         k_i = jax.random.fold_in(k_roll_noise, 3)
                         B = batch.text.shape[0]
-                        if dim_weights is None:
+                        if redraw_weights is None:
                             i_idx = jax.random.randint(
                                 k_i, (B,), 0, code_dims)
                         else:
@@ -534,7 +572,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                             # weights select the exact unweighted draw so
                             # an unarmed controller stays trajectory-
                             # identical to the baseline (see redraw_code).
-                            w = jnp.asarray(dim_weights, jnp.float32)
+                            w = jnp.asarray(redraw_weights, jnp.float32)
                             i_idx = jnp.where(
                                 jnp.all(w == w[0]),
                                 jax.random.randint(k_i, (B,), 0, code_dims),
@@ -610,7 +648,7 @@ def make_train_steps(hp, generator, discriminator, g_tx, d_tx,
                         # code-distance, clamped at tau, rewarded.
                         redraw = _redraw_code(
                             jax.random.fold_in(k_roll_noise, 2), code,
-                            dim_weights)
+                            redraw_weights)
                         mel2, len2 = _roll_again(jnp.concatenate(
                             [redraw, style[:, :, code_dims:]], axis=-1))
                         d_out = _pair_d_out(mel2, len2)

@@ -112,6 +112,16 @@ VARIANTS = {
     "bit2x2_rescue": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
                           diversity_subset_redraw=True,
                           factor_rescue_floor=2.18),
+    # Recon actuator (config.py factor_rescue_actuator): same sensor and
+    # controller, but the weights escalate the weak dim's per-dim
+    # Q-head reconstruction error instead of biasing the redraw — the
+    # redraw actuator measurably starves the healthy dim (the diversity
+    # reward is zero-sum across dims); identification pressure is not.
+    "bit2x2_rescue_q": dict(_BIT_WARM, style_code_dims=2,
+                            style_code_levels=2,
+                            diversity_subset_redraw=True,
+                            factor_rescue_floor=2.18,
+                            factor_rescue_actuator="recon"),
     # The MSE identification floor.
     "nogan": {"d_freq": 0, "disc_warmp_up": 0},
 }

@@ -305,6 +305,51 @@ def test_factor_rescue_unarmed_trajectory_identity():
     assert any(not np.array_equal(np.asarray(b), np.asarray(a))
                for b, a in zip(base_leaves, armed_leaves))
 
+    # The RECON actuator (factor_rescue_actuator='recon') has the same
+    # contract: uniform weights bit-identical to no controller, asymmetric
+    # weights act — but through the per-dim Q-head errors, so its armed
+    # update differs from the redraw actuator's too.
+    hp_q = tiny_hp(adversarial_rollouts=True,
+                   style_reconstruction_weight=5.0,
+                   diversity_weight=1.0, diversity_cap=0.9,
+                   diversity_subset_redraw=True,
+                   style_code_dims=2, style_code_levels=2,
+                   factor_rescue_actuator="recon")
+    gq_step, _, _ = make_train_steps(hp_q, gen, disc, g_tx, d_tx)
+    stepq = jax.jit(gq_step)
+    q_unarmed, _, _ = stepq(*args, jnp.full(2, 4.0, jnp.float32))
+    q_armed, _, _ = stepq(*args, jnp.asarray([8.0, 1.0], jnp.float32))
+    q_unarmed_leaves = jax.tree_util.tree_leaves(q_unarmed.g_params)
+    q_armed_leaves = jax.tree_util.tree_leaves(q_armed.g_params)
+    for b, u in zip(base_leaves, q_unarmed_leaves):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(u))
+    assert any(not np.array_equal(np.asarray(b), np.asarray(a))
+               for b, a in zip(base_leaves, q_armed_leaves))
+    assert any(not np.array_equal(np.asarray(r), np.asarray(q))
+               for r, q in zip(armed_leaves, q_armed_leaves))
+
+
+def test_factor_rescue_actuator_guards():
+    """factor_rescue_actuator: unknown values fail fast; 'recon' with an
+    armed controller demands the Q head it weights."""
+    from test_train_step import tiny_hp as _hp
+    from gantron_tpu.models import Tacotron2, make_discriminator
+
+    hp = _hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
+             diversity_weight=1.0, diversity_cap=0.9,
+             style_code_dims=2, style_code_levels=2,
+             factor_rescue_actuator="sideways")
+    with pytest.raises(ValueError, match="factor_rescue_actuator"):
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
+    hp = _hp(adversarial_rollouts=True, diversity_weight=1.0,
+             diversity_cap=0.9, diversity_subset_redraw=True,
+             style_code_dims=2, style_code_levels=2,
+             factor_rescue_floor=2.18, factor_rescue_actuator="recon")
+    with pytest.raises(ValueError, match="style_reconstruction_weight"):
+        make_train_steps(hp, Tacotron2(hp), make_discriminator(hp),
+                         None, None)
+
 
 def test_coded_style_semantics():
     """Serving-side counterpart of the training code grid: coded_style
