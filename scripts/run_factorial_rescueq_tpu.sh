@@ -8,6 +8,11 @@
 #   1. bit2x2_rescue_q seeds 0/1/2 - 3000 iters, campaign standard.
 #   2. RECOVERY-Q: resume the collapsed-factor attractor (subset s0 at
 #      6000 iters, band A dead) under the armed recon controller.
+#      The attractor checkpoint is REGENERATED here (the original lived
+#      in /tmp and did not survive the host): subset s0 runs 3000 then
+#      continues to 6000, the same two-stage trajectory the recorded
+#      bit2x2_subset_6k.json followed, so the resumed state matches the
+#      documented attractor (verify val mel/chi2 against that JSON).
 # Usage: bash scripts/run_factorial_rescueq_tpu.sh [OUT_DIR]
 set -u
 OUT=${1:-/tmp/factorial_rescueq}
@@ -26,10 +31,18 @@ for s in 0 1 2; do
 done
 echo "RESCUE-Q DONE $(date)" >> "$OUT/progress.log"
 
+# --- Regenerate the collapsed-factor attractor: subset s0 @ 3000 -> 6000.
+ATT="$OUT/attractor"
+mkdir -p "$ATT"
+run python scripts/gan_factorial_study.py --variant bit2x2_subset \
+    --seed 0 --iterations 3000 -o "$ATT"
+run python scripts/gan_factorial_study.py --variant bit2x2_subset \
+    --seed 0 --iterations 6000 -o "$ATT"
+
 REC="$OUT/recovery"
 mkdir -p "$REC/bit2x2_rescue_q"
 # -r: Orbax checkpoints are DIRECTORIES.
-cp -r /tmp/factorial_r4/bit2x2_subset/iter=6000* "$REC/bit2x2_rescue_q/"
+cp -r "$ATT"/bit2x2_subset/iter=6000* "$REC/bit2x2_rescue_q/"
 if ! ls -d "$REC"/bit2x2_rescue_q/iter=6000*.ckpt >/dev/null 2>&1; then
   echo "RECOVERY-Q SETUP FAILED: checkpoint copy missing" >> "$OUT/progress.log"
 else
