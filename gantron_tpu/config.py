@@ -474,8 +474,12 @@ class HParams:
     # pressure is NOT zero-sum across dims, so escalating the weak dim
     # leaves the healthy dim's entire objective untouched. Both actuators
     # are bit-identical to the baseline at uniform weights. "recon"
-    # requires style_reconstruction_weight > 0.
-    factor_rescue_actuator: str = "redraw"
+    # requires style_reconstruction_weight > 0. Default "recon": measured
+    # strictly less destructive on both seeds where the controller acted
+    # (redraw destroyed an identified band, chi2 108.9->0.0; recon kept
+    # coverage and best-in-arm fidelity at chi2 46.7 —
+    # docs/TRAINING_EVIDENCE.md "Recon actuator measured").
+    factor_rescue_actuator: str = "recon"
 
     def __post_init__(self):
         if self.n_symbols == 0:

@@ -111,7 +111,11 @@ VARIANTS = {
     # to FACTOR collapse (the diagonal controller is measurably blind).
     "bit2x2_rescue": dict(_BIT_WARM, style_code_dims=2, style_code_levels=2,
                           diversity_subset_redraw=True,
-                          factor_rescue_floor=2.18),
+                          factor_rescue_floor=2.18,
+                          # Explicit: this is the historical REDRAW arm
+                          # (config.py's default flipped to "recon" after
+                          # this arm measured the redraw harmful).
+                          factor_rescue_actuator="redraw"),
     # Recon actuator (config.py factor_rescue_actuator): same sensor and
     # controller, but the weights escalate the weak dim's per-dim
     # Q-head reconstruction error instead of biasing the redraw — the

@@ -281,7 +281,11 @@ def test_factor_rescue_unarmed_trajectory_identity():
     hp = tiny_hp(adversarial_rollouts=True, style_reconstruction_weight=5.0,
                  diversity_weight=1.0, diversity_cap=0.9,
                  diversity_subset_redraw=True,
-                 style_code_dims=2, style_code_levels=2)
+                 style_code_dims=2, style_code_levels=2,
+                 # Explicit: the config default flipped to "recon" after
+                 # the redraw actuator measured harmful; this block pins
+                 # the REDRAW actuator's contract.
+                 factor_rescue_actuator="redraw")
     batch = synth_batch(hp, B=4, T_in=10, T_out=24)
     state, gen, disc, g_tx, d_tx = create_train_state(
         hp, jax.random.PRNGKey(0), tuple(batch))
