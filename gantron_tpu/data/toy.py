@@ -425,6 +425,72 @@ def build_factorial_corpus(root: str, n_utts: int = 200, n_train: int = None,
     return wav_dir + os.sep, train_list, val_list, bits
 
 
+# --- Leveled corpus: ONE CONTINUOUS hidden factor ---
+#
+# Every identification corpus above hides DISCRETE factors (bits), but the
+# reference's designed latent is a continuous noise vector (reference
+# model.py:184-191, 273-279) — and the ladder's continuous-code arms were
+# only ever tested against binary factors, where the topology mismatch
+# (a continuum facing two modes) is itself a confound in the measured
+# watermarking. This corpus hides one CONTINUOUS factor: a steady
+# [4.0, 4.8] kHz marker whose amplitude sweeps log-uniformly over
+# LEVEL_RANGE_OCTAVES octaves with the per-utterance level u ~ U(0,1),
+# hidden from text/labels. Log-uniform, because the mel featurizer is
+# log-scale: the measured band level (eval.mode_study.hiband_level) is
+# then ~LINEAR in u across the whole sweep, instead of compressing all
+# u below ~0.5 into the mel floor. Instrument soundness follows the
+# factorial corpus: base utterance lowpassed below the band, marker at
+# constant (envelope-free) amplitude.
+
+LEVEL_RANGE_OCTAVES = 3.0  # u=0 -> amp/8, u=1 -> amp: an 18 dB sweep
+
+
+def synth_leveled_utterance(text: str, level: float, rng) -> np.ndarray:
+    """Lowpassed tone-language utterance + steady [4.0,4.8] kHz marker at
+    amplitude ``2**(-LEVEL_RANGE_OCTAVES*(1-level))`` of the factorial
+    corpus's marker amplitude (``level`` in [0, 1])."""
+    wav = synth_utterance(text, rng)
+    spec = np.fft.rfft(wav)
+    freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
+    spec[freqs >= FACTORIAL_LOWPASS_HZ] = 0
+    wav = np.fft.irfft(spec, n=wav.size).astype(np.float32)
+    amp = HIBAND_AMP * (float(np.abs(wav).mean()) + 0.05)
+    amp *= 2.0 ** (-LEVEL_RANGE_OCTAVES * (1.0 - float(level)))
+    marker = _bandlimited_noise(wav.size, MODEBAND_LO_HZ,
+                                MODEBAND_HI_HZ, rng)
+    return (wav + amp * marker).astype(np.float32)
+
+
+def build_leveled_corpus(root: str, n_utts: int = 200, n_train: int = None,
+                         min_chars: int = 5, max_chars: int = 9,
+                         seed: int = 0):
+    """LJSpeech-layout corpus with one continuous hidden factor (marker
+    level u ~ U(0,1) on [4.0,4.8] kHz; hidden from text/labels). Returns
+    (wav_dir_with_sep, train_filelist, val_filelist, levels) where
+    ``levels`` maps wav filename -> u."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    levels = {}
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        u = float(rng.rand())
+        name = f"u{i}.wav"
+        _emit_wav(os.path.join(wav_dir, name),
+                  synth_leveled_utterance(text, u, rng))
+        levels[name] = u
+        lines.append(f"{name}|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
+    return wav_dir + os.sep, train_list, val_list, levels
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

@@ -314,3 +314,95 @@ def commitment_stats(gen_levels, anchors: dict) -> dict:
         "level_std": float(g.std()),
         "levels": [round(float(v), 3) for v in g],
     }
+
+
+def compute_real_levels(train_list, wav_dir, levels, hp,
+                        channels=None) -> dict:
+    """Real-utterance transfer curve for a CONTINUOUS hidden factor
+    (data.toy.build_leveled_corpus): per-utterance (u, measured band
+    level) through the SAME cached extraction the run trains on, plus the
+    instrument check (Spearman u vs level — the corpus is only a valid
+    instrument if the real curve is monotone) and the real level range
+    the control metric is normalized by."""
+    import os
+
+    from scipy import stats
+
+    from gantron_tpu.data.dataset import TextMelDataset
+
+    ds = TextMelDataset([train_list], hp, wav_dir)
+    if channels is None:
+        channels = hiband_channels(hp)
+    with open(train_list) as f:
+        names = [line.split("|")[0] for line in f if line.strip()]
+    u = np.array([levels[n] for n in names], np.float64)
+    band = np.array([hiband_level(ds.get_mel(os.path.join(wav_dir, n)),
+                                  channels) for n in names], np.float64)
+    rho = stats.spearmanr(u, band)
+    return {
+        "n": int(u.size),
+        "spearman": round(float(rho.statistic), 4),
+        "spearman_p": float(rho.pvalue),
+        "p5": round(float(np.percentile(band, 5)), 4),
+        "p95": round(float(np.percentile(band, 95)), 4),
+        "u": [round(float(v), 4) for v in u],
+        "band_level": [round(float(v), 4) for v in band],
+    }
+
+
+def continuous_control_stats(code_values, levels, real_p5, real_p95,
+                             n_perm: int = 10000, seed: int = 0) -> dict:
+    """Does a CONTINUOUS code dim act as a monotone control knob?
+
+    ``code_values``: (n_codes,) swept values of one code dim;
+    ``levels``: (n_codes, S) measured band levels of S nuisance decodes
+    per code value; ``real_p5``/``real_p95``: the real corpus's band-level
+    range (compute_real_levels) the achieved control range is normalized
+    by. Reports pooled Spearman rho (code value vs level over all
+    n_codes*S decodes) with both the analytic and a permutation p-value
+    (labels shuffled over the pooled decodes, fixed PRNG), the fraction of
+    adjacent code pairs whose mean level increases (monotonicity), the
+    achieved-vs-real range ratio, and between-code spread over mean
+    within-code spread (the continuous analog of the discrete separation
+    ratio)."""
+    from scipy import stats
+
+    code_values = np.asarray(code_values, np.float64)
+    levels = np.asarray(levels, np.float64)
+    n_codes, S = levels.shape
+    pooled_c = np.repeat(code_values, S)
+    pooled_l = levels.reshape(-1)
+    rho = stats.spearmanr(pooled_c, pooled_l)
+    r = float(rho.statistic)
+    rng = np.random.RandomState(seed)
+    perm = np.array([
+        stats.spearmanr(pooled_c, rng.permutation(pooled_l)).statistic
+        for _ in range(n_perm)])
+    p_perm = float((np.abs(perm) >= abs(r)).mean())
+    cell_means = levels.mean(axis=1)
+    order = np.argsort(code_values)
+    diffs = np.diff(cell_means[order])
+    within = float(levels.std(axis=1).mean())
+    between = float(cell_means.std())
+    real_range = max(float(real_p95) - float(real_p5), 1e-9)
+    return {
+        "n_codes": int(n_codes),
+        "n_draws": int(S),
+        "spearman": round(r, 4),
+        "spearman_p": float(rho.pvalue),
+        "perm_p": p_perm,
+        "n_perm": int(n_perm),
+        "monotonicity": round(float((diffs > 0).mean()), 4),
+        "range_achieved": round(float(cell_means.max() - cell_means.min()),
+                                4),
+        "range_real": round(real_range, 4),
+        "range_coverage": round(
+            float(cell_means.max() - cell_means.min()) / real_range, 4),
+        "within_spread": round(within, 4),
+        "between_spread": round(between, 4),
+        "control_ratio": round(between / max(within, 1e-9), 4),
+        "cell_means": [round(float(v), 4) for v in cell_means],
+        "cell_stds": [round(float(v), 4)
+                      for v in levels.std(axis=1)],
+        "code_values": [round(float(v), 4) for v in code_values],
+    }

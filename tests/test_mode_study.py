@@ -300,3 +300,61 @@ def test_code_binding_and_coverage_stats():
     cov3 = code_mode_coverage(
         joint_mode_grid(a3, b2, mid_a=-6.0, mid_b=-5.0), 4)
     assert cov3["coverage"] == 0.25
+
+
+def test_leveled_corpus_instrument(tmp_path):
+    """The continuous-factor corpus is a valid instrument only if the
+    REAL utterances' measured band level is monotone (and ~linear, by the
+    log-uniform amplitude map) in the hidden level u across its whole
+    range — through the same mel extraction the model trains on."""
+    from gantron_tpu.data.toy import MODEBAND_SCORE, build_leveled_corpus
+    from gantron_tpu.eval.mode_study import band_channels, compute_real_levels
+
+    root = str(tmp_path)
+    wav_dir, train_list, val_list, levels = build_leveled_corpus(
+        root, n_utts=28, n_train=28)
+    assert all(0.0 <= u <= 1.0 for u in levels.values())
+    # U(0,1) draws over 28 utts should span most of the range.
+    assert max(levels.values()) - min(levels.values()) > 0.7
+
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    curve = compute_real_levels(train_list, wav_dir, levels, hp,
+                                channels=band_channels(hp, *MODEBAND_SCORE))
+    assert curve["n"] == 28
+    assert curve["spearman"] > 0.9
+    assert curve["spearman_p"] < 1e-6
+    # The 18 dB amplitude sweep must survive into the log-mel band level
+    # as a usable dynamic range (log-units of the dB-scaled mel).
+    assert curve["p95"] - curve["p5"] > 1.5
+    # ~Linear, not floor-compressed: Pearson close to the Spearman.
+    pear = np.corrcoef(curve["u"], curve["band_level"])[0, 1]
+    assert pear > 0.9
+
+
+def test_continuous_control_stats():
+    """A monotone code->level transfer scores high Spearman / coverage /
+    control ratio with a significant permutation p; a code-ignoring
+    (flat) transfer scores ~0 with an insignificant p."""
+    from gantron_tpu.eval.mode_study import continuous_control_stats
+
+    rng = np.random.RandomState(0)
+    codes = np.linspace(0.05, 0.95, 10)
+    S = 8
+    monotone = (-9.0 + 4.0 * codes)[:, None] + rng.randn(10, S) * 0.15
+    st = continuous_control_stats(codes, monotone, real_p5=-9.0,
+                                  real_p95=-5.0, n_perm=2000)
+    assert st["spearman"] > 0.9
+    assert st["perm_p"] < 0.01
+    assert st["monotonicity"] == 1.0
+    assert st["range_coverage"] > 0.8
+    assert st["control_ratio"] > 3.0
+
+    flat = np.full((10, S), -7.0) + rng.randn(10, S) * 0.3
+    st2 = continuous_control_stats(codes, flat, real_p5=-9.0,
+                                   real_p95=-5.0, n_perm=2000)
+    assert abs(st2["spearman"]) < 0.35
+    assert st2["perm_p"] > 0.05
+    assert st2["range_coverage"] < 0.3
