@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from gantron_tpu.config import HParams
 from gantron_tpu.train.loop import train
@@ -147,12 +148,19 @@ def test_update_factor_scales_warmup_gate():
     assert update_factor_scales([1.0, 1.0], [0.5, 3.5], hp) == [2.0, 1.0]
 
 
-def test_factor_rescue_escalates_and_logs(tmp_path):
+@pytest.mark.parametrize("actuator", ["redraw", "recon"])
+def test_factor_rescue_escalates_and_logs(tmp_path, actuator):
     """With an impossibly high per-dim floor every validation trips the
     factor controller on every dim: the logged per-dim scales escalate by
-    the gain while the per-dim separation sensor stays finite."""
+    the gain while the per-dim separation sensor stays finite. Both
+    actuators share the controller/escalation/logging; only the actuation
+    differs (recon — the shipped default — needs the recon term it
+    weights)."""
     hp = tiny_hp(validation_sample_diversity=3,
                  factor_rescue_floor=1e9, factor_rescue_warmup=0,
+                 factor_rescue_actuator=actuator,
+                 style_reconstruction_weight=(
+                     1.0 if actuator == "recon" else 0.0),
                  diversity_rescue_gain=3.0,
                  diversity_rescue_max=4.5,
                  adversarial_rollouts=True, diversity_weight=0.5,
@@ -184,12 +192,22 @@ def test_factor_rescue_guards(tmp_path):
     with pytest.raises(ValueError, match="style_code_dims"):
         train(str(tmp_path / "a"), None, False, hp, "synthetic",
               logger=MetricLogger(None, quiet=True))
-    # The actuator is the weighted SUBSET redraw.
+    # The redraw actuator acts through the weighted SUBSET redraw.
     hp = tiny_hp(factor_rescue_floor=2.18, validation_sample_diversity=3,
+                 factor_rescue_actuator="redraw",
                  adversarial_rollouts=True, diversity_weight=0.5,
                  style_code_dims=2, style_code_levels=2)
     with pytest.raises(ValueError, match="diversity_subset_redraw"):
         train(str(tmp_path / "b"), None, False, hp, "synthetic",
+              logger=MetricLogger(None, quiet=True))
+    # The recon actuator (the shipped default) weights the per-dim
+    # style-reconstruction errors — armed without that term is a no-op.
+    hp = tiny_hp(factor_rescue_floor=2.18, validation_sample_diversity=3,
+                 adversarial_rollouts=True, diversity_weight=0.5,
+                 diversity_subset_redraw=True,
+                 style_code_dims=2, style_code_levels=2)
+    with pytest.raises(ValueError, match="style_reconstruction_weight"):
+        train(str(tmp_path / "c"), None, False, hp, "synthetic",
               logger=MetricLogger(None, quiet=True))
 
 
