@@ -18,8 +18,12 @@ run() {
   echo "=== rc=$? $(date +%H:%M:%S)" >> "$LOG"
 }
 
-for spec in cont_warm:0 rollout:0 cont_bit4:0 cont_warm:1 cont_warm:2 \
-            nogan:0 rollout:1 cont_bit4:1 rollout:2 cont_bit4:2; do
+# ARMS overrides the default order, e.g. ARMS="cont_warm:1 cont_warm:2"
+# (warm-cache seeds of an already-compiled variant run ~4x faster than a
+# cold variant, so reordering mid-session is routine).
+ARMS=${ARMS:-"cont_warm:0 rollout:0 cont_bit4:0 cont_warm:1 cont_warm:2
+              nogan:0 rollout:1 cont_bit4:1 rollout:2 cont_bit4:2"}
+for spec in $ARMS; do
   v=${spec%:*}; s=${spec#*:}
   run python scripts/gan_continuous_study.py --variant "$v" \
       --seed "$s" --iterations 3000 -o "$ROOT"
