@@ -60,6 +60,19 @@ NAMED_ARMS = {
     # complete with more training time? (ROADMAP "s2 9k".)
     "factorial/s2_9k": (
         "factorial", "bit2x2_subset", ["--iterations", "9000"]),
+    # Round-5 texture frontier (VERDICT r4 #5): the GP x rollout
+    # interaction recovered 54% of history-unpredictable texture at
+    # val mel 0.664 (1 seed); map recovery-vs-fidelity over the two
+    # unexplored levers — GP strength and D capacity (the reference's
+    # 0.001 weight clip is gone under GP, so D width is free to grow).
+    "texture/gp3_rollout": (
+        "texture", "gp_rollout", ["--hparams",
+                                  "gradient_penalty_lambda=3.0"]),
+    "texture/gp30_rollout": (
+        "texture", "gp_rollout", ["--hparams",
+                                  "gradient_penalty_lambda=30.0"]),
+    "texture/gp_rollout_d192": (
+        "texture", "gp_rollout", ["--hparams", "discriminator_dim=192"]),
 }
 
 
@@ -127,6 +140,12 @@ def main():
     for name, seed in jobs:
         study, variant, extra = arms[name]
         script, default_root = STUDIES[study]
+        # A named arm reuses its base variant's output dir names; give it
+        # its own root so e.g. texture/gp3_rollout cannot overwrite
+        # texture/gp_rollout results.
+        arm_tag = name.split("/", 1)[1]
+        if arm_tag != variant:
+            default_root = f"{default_root}_{arm_tag}"
         root = args.output or default_root
         os.makedirs(root, exist_ok=True)
         stop = os.path.join(root, "STOP")
