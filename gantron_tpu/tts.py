@@ -10,6 +10,7 @@ the jit-compiled array API.
     wav = synth.tts("Hello world.", waveglow) # neural vocoder
 """
 
+import json
 from typing import Optional
 
 import numpy as np
@@ -46,11 +47,46 @@ class Synthesizer:
         model, variables = load_generator(checkpoint_path, hp)
         return cls(model, variables, hp)
 
+    def load_calibration(self, path_or_json):
+        """Attach a measured knob calibration (eval/calibration.py) so
+        ``infer_mel(level=...)`` can target absolute factor levels. Takes
+        a path to the JSON written by ``scripts/calibrate_knob.py`` (or a
+        raw JSON string). Returns self for chaining."""
+        from gantron_tpu.eval.calibration import KnobCalibration
+
+        s = path_or_json
+        if not s.lstrip().startswith("{"):
+            with open(s) as f:
+                s = f.read()
+        d = json.loads(s)
+        # calibrate_knob.py wraps the curve under a "calibration" key;
+        # accept either the wrapper document or the bare curve.
+        if "calibration" in d and "code_values" not in d:
+            d = d["calibration"]
+        self.calibration = KnobCalibration.from_json(json.dumps(d))
+        return self
+
+    def style_for_level(self, level, seed=0):
+        """Calibrated style vector targeting an absolute factor level
+        (requires :meth:`load_calibration`): uniform nuisance draw with
+        the calibrated code dim pinned to ``code_for_level(level)``."""
+        cal = getattr(self, "calibration", None)
+        if cal is None:
+            raise ValueError(
+                "no knob calibration attached; call load_calibration() "
+                "with the JSON from scripts/calibrate_knob.py first")
+        return cal.style_for_level(level, jax.random.PRNGKey(seed),
+                                   self.hp.noise_size)
+
     def infer_mel(self, text, style=None, emotions=None, speaker=None,
-                  seed=0, early_exit=True, text_lengths=None):
+                  seed=0, early_exit=True, text_lengths=None, level=None):
         """Text (str, 1-D ids, or (B, T) ids) -> (mel_postnet (n_mel, L),
         length L). For a (B>1, T) batch, returns a LIST of per-sample
         (mel, L) pairs — every row's decode is returned, not just row 0.
+
+        ``level``: absolute factor level for a calibrated style knob
+        (requires :meth:`load_calibration`; mutually exclusive with an
+        explicit ``style``).
 
         ``text_lengths``: optional (B,) true lengths for a PADDED id batch.
         When None they are derived from trailing pad (id 0) runs, so a
@@ -66,6 +102,12 @@ class Synthesizer:
                 ids = ids[None]
         if text_lengths is None:
             text_lengths = _derive_text_lengths(ids)
+        if level is not None:
+            if style is not None:
+                raise ValueError("pass either style or level, not both")
+            style = self.style_for_level(level, seed)
+            if ids.shape[0] > 1:
+                style = jnp.tile(style, (ids.shape[0], 1, 1))
         key = jax.random.PRNGKey(seed)
         out = self.model.apply(
             self.variables, jnp.asarray(ids), style, emotions, speaker,

@@ -115,3 +115,46 @@ def test_measure_knob_protocol():
     assert np.isfinite(levels).all()
     cal = KnobCalibration.fit(codes, levels)
     assert np.isfinite(cal.level_for_code(0.5))
+
+
+def test_synthesizer_level_serving():
+    """Serving integration: load_calibration (both the bare curve and the
+    calibrate_knob.py wrapper document) + infer_mel(level=...)."""
+    from gantron_tpu.tts import Synthesizer
+
+    hp = HParams()
+    hp.add_params(dict(
+        symbols_embedding_dim=32, encoder_embedding_dim=32,
+        encoder_n_convolutions=2, attention_rnn_dim=48, decoder_rnn_dim=48,
+        prenet_dim=16, attention_dim=24, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=32,
+        postnet_n_convolutions=3, noise_size=8, use_noise=True,
+        use_labels=False, max_decoder_steps=12, scan_unroll=2))
+    model = Tacotron2(hp)
+    ids = np.array([[3, 5, 7, 9, 11]], np.int32)
+    mels = np.zeros((1, hp.n_mel_channels, 8), np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "noise": jax.random.PRNGKey(2)},
+        ids, np.array([5], np.int32), mels, np.zeros((1,), np.int32),
+        np.zeros((1, 5), np.float32), np.array([8], np.int32), train=False)
+    synth = Synthesizer(model, variables, hp)
+
+    codes = np.linspace(0.0, 1.0, 5)
+    cal = KnobCalibration.fit(codes, codes * 2.0 - 3.0)
+    # Bare curve JSON.
+    synth.load_calibration(cal.to_json())
+    mel, L = synth.infer_mel(ids[0], level=-2.0)
+    assert mel.shape[0] == hp.n_mel_channels and L >= 1
+    # Wrapper document (what scripts/calibrate_knob.py writes).
+    wrapped = json.dumps({"variant": "cont_warm",
+                          "calibration": json.loads(cal.to_json())})
+    synth.load_calibration(wrapped)
+    style = synth.style_for_level(-2.0)
+    assert abs(float(style[0, 0, 0]) - 0.5) < 0.05  # level -2 -> code 0.5
+    # level + style together is an error.
+    try:
+        synth.infer_mel(ids[0], style=style, level=-2.0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
