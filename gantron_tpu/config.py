@@ -280,6 +280,15 @@ class HParams:
     # distance (measured on the bimodal study corpus: 0.28 vs 1.05, same
     # text): a flip then earns the full reward and anything beyond earns
     # nothing, so the cheapest saturating solution is flipping real modes.
+    # The cap is a CORPUS CALIBRATION, not a universal constant — for a
+    # CONTINUOUS factor set it AT the natural cross-extreme output
+    # distance (leveled corpus: full-range same-text distance 0.435 vs
+    # within-level jitter 0.27 -> cap 0.45). Measured consequence of
+    # leaving the bimodal 0.9 in place there: the reward never saturates
+    # on-manifold and the knob's range coverage floats on a
+    # seed-dependent equilibrium (0.23-1.64 of the real range); the
+    # calibrated 0.45 lands all 3 seeds in [0.85, 1.30] with equal or
+    # better fidelity (docs/TRAINING_EVIDENCE.md "Continuous control").
     diversity_cap: float = 0.0
     # Redraw a random NONEMPTY SUBSET of the code dims for the diversity
     # pair instead of shifting every dim (train/step.py redraw_code). With
