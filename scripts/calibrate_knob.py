@@ -40,6 +40,12 @@ def main():
     parser.add_argument("--check_draws", type=int, default=8,
                         help="fresh nuisance draws per requested level")
     parser.add_argument("--evidence", default="docs/evidence_r5/continuous")
+    parser.add_argument("--evidence_name", default=None,
+                        help="campaign JSON filename (default "
+                             "<variant>_s<seed>.json); e.g. "
+                             "cont_warm_cap045_s0.json for the "
+                             "calibrated-cap arms, whose checkpoints use "
+                             "the cont_warm architecture")
     parser.add_argument("-o", "--output", default=None)
     args = parser.parse_args()
 
@@ -58,8 +64,9 @@ def main():
 
     tag = f"_s{args.seed}" if args.seed else ""
     arm_dir = os.path.join(args.study_root, args.variant + tag)
-    with open(os.path.join(args.evidence,
-                           f"{args.variant}_s{args.seed}.json")) as f:
+    evidence_name = (args.evidence_name
+                     or f"{args.variant}_s{args.seed}.json")
+    with open(os.path.join(args.evidence, evidence_name)) as f:
         campaign = json.load(f)
     real_p5 = campaign["real_curve"]["p5"]
     real_p95 = campaign["real_curve"]["p95"]
