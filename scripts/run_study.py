@@ -92,6 +92,18 @@ def known_arms():
     return arms
 
 
+def merge_hparams(extra, user_hparams):
+    """Combine a named arm's bundled ``--hparams`` with user overrides
+    rather than letting argparse keep only the last flag: the user's
+    string appends AFTER the bundle, so it wins field-by-field."""
+    extra = list(extra)
+    if user_hparams and "--hparams" in extra:
+        i = extra.index("--hparams")
+        user_hparams = extra[i + 1] + "," + user_hparams
+        del extra[i:i + 2]
+    return extra, user_hparams
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--list", action="store_true",
@@ -157,11 +169,12 @@ def main():
             break
         cmd = [sys.executable, os.path.join(HERE, script),
                "--variant", variant, "--seed", str(seed), "-o", root]
+        extra, hparams = merge_hparams(extra, args.hparams)
         cmd += extra
         if args.iterations is not None:
             cmd += ["--iterations", str(args.iterations)]
-        if args.hparams:
-            cmd += ["--hparams", args.hparams]
+        if hparams:
+            cmd += ["--hparams", hparams]
         if args.analyze_only:
             cmd += ["--analyze_only"]
         stamp = datetime.datetime.now().strftime("%H:%M:%S")

@@ -56,3 +56,16 @@ def test_list_runs_clean():
         capture_output=True, text=True)
     assert r.returncode == 0
     assert "continuous/cont_warm_cap045" in r.stdout
+
+
+def test_merge_hparams():
+    extra, hp = run_study.merge_hparams(
+        ["--hparams", "diversity_cap=0.45"], "seed_offset=1")
+    assert extra == [] and hp == "diversity_cap=0.45,seed_offset=1"
+    # No user overrides: bundle passes through untouched.
+    extra, hp = run_study.merge_hparams(
+        ["--hparams", "diversity_cap=0.45"], None)
+    assert extra == ["--hparams", "diversity_cap=0.45"] and hp is None
+    # No bundle: user string stands alone.
+    extra, hp = run_study.merge_hparams([], "a=1")
+    assert extra == [] and hp == "a=1"
