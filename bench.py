@@ -43,7 +43,7 @@ V100_BASELINE_STEPS_PER_SEC = 1.8
 BACKEND_INIT_TIMEOUT_S = 240
 
 
-def _probe_backend():
+def _probe_backend(metric):
     """Initialize the JAX backend in a SUBPROCESS, converting outages into a
     skip marker. A subprocess (not signal.alarm) because a hanging tunnel
     blocks inside a C call where Python signal handlers never run — measured:
@@ -72,8 +72,7 @@ def _probe_backend():
     if err is None:
         return None
     print(json.dumps({
-        "metric": "LJSpeech-shape GAN train steps/sec/chip "
-                  f"(batch {BATCH}, T_out {T_OUT}, G/G/D cycle)",
+        "metric": metric,
         "value": None,
         "unit": "steps/sec",
         "vs_baseline": None,
@@ -81,6 +80,12 @@ def _probe_backend():
         "error": err,
     }))
     return 0
+
+
+def _metric_name(frames_per_step: int) -> str:
+    ktag = f", K={frames_per_step}" if frames_per_step != 1 else ""
+    return ("LJSpeech-shape GAN train steps/sec/chip "
+            f"(batch {BATCH}, T_out {T_OUT}, G/G/D cycle{ktag})")
 
 # Production-shaped synthetic batch: LJSpeech mel lengths average ~560 frames
 # at 22.05 kHz / hop 256; text ~110 symbols.
@@ -157,7 +162,8 @@ def main():
                              "the throughput/MFU frontier")
     args = parser.parse_args()
 
-    rc = _probe_backend()
+    metric = _metric_name(args.frames_per_step)
+    rc = _probe_backend(metric)
     if rc is not None:
         sys.exit(rc)
 
@@ -192,10 +198,13 @@ def main():
                                                           g_lr, attn_w)
         state, d_metrics = d_step(state, batch.mels, batch.output_lengths,
                                   gen_mel, gen_lengths, d_lr)
-        return state, g_metrics, d_metrics
+        # gen refs returned so the MFU cost analysis below can .lower()
+        # the d_step with the EXACT timed signature (a dtype-mismatched
+        # stand-in would trigger a second full compile).
+        return state, g_metrics, d_metrics, (gen_mel, gen_lengths)
 
     for _ in range(WARMUP_CYCLES):
-        state, gm, dm = run_cycle(state)
+        state, gm, dm, gen_ref = run_cycle(state)
     # Fetching the losses forces full materialization of the step.
     float(gm["generator_loss"]), float(dm["discriminator_loss"])
     jax.block_until_ready(state)
@@ -204,7 +213,7 @@ def main():
     for _ in range(TRIALS):
         t0 = time.perf_counter()
         for _ in range(TIMED_CYCLES):
-            state, gm, dm = run_cycle(state)
+            state, gm, dm, gen_ref = run_cycle(state)
         float(gm["generator_loss"]), float(dm["discriminator_loss"])
         jax.block_until_ready(state)
         dt = time.perf_counter() - t0
@@ -214,12 +223,15 @@ def main():
     median = trial_sps[len(trial_sps) // 2]
     spread_pct = (trial_sps[-1] - trial_sps[0]) / median * 100
 
-    # MFU: XLA-counted FLOPs for the G/G/D cycle / wall-clock / peak bf16.
-    g_flops = _step_flops(jax.jit(g_step_fn).lower(
+    # MFU: XLA-counted FLOPs for the G/G/D cycle / wall-clock / peak
+    # bf16. Reuse the TIMED wrappers — .lower().compile() on the same
+    # jit object and signature resolves to the already-built executable
+    # instead of compiling the 28M-param steps a second time.
+    g_flops = _step_flops(g_step.lower(
         state, batch, g_lr, attn_w).compile())
-    d_flops = _step_flops(jax.jit(d_step_fn).lower(
+    d_flops = _step_flops(d_step.lower(
         state, batch.mels, batch.output_lengths,
-        batch.mels, batch.output_lengths, d_lr).compile())
+        gen_ref[0], gen_ref[1], d_lr).compile())
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_BF16_FLOPS.get(device_kind)
     mfu = flops_per_step = None
@@ -230,11 +242,8 @@ def main():
             # median steps/s * FLOPs/step = achieved FLOP/s
             mfu = median * flops_per_step / peak
 
-    ktag = (f", K={args.frames_per_step}"
-            if args.frames_per_step != 1 else "")
     print(json.dumps({
-        "metric": "LJSpeech-shape GAN train steps/sec/chip "
-                  f"(batch {BATCH}, T_out {T_OUT}, G/G/D cycle{ktag})",
+        "metric": metric,
         "value": round(median, 4),
         "unit": "steps/sec",
         "vs_baseline": round(median / V100_BASELINE_STEPS_PER_SEC, 4),

@@ -135,8 +135,12 @@ class KnobCalibration:
 
         Levels outside the achieved range clamp to the nearest achieved
         endpoint's code — by construction the curve saturates there, so
-        the clamp is the closest reachable operating point. Flat
-        (pooled) stretches invert to their left edge.
+        the clamp is the closest reachable operating point. A level that
+        lands exactly on a flat (pooled) stretch inverts to the
+        stretch's RIGHT edge in the monotone direction (np.interp's
+        duplicate-knot behavior) — any code within the pool decodes to
+        the same fitted level, so the choice is arbitrary but pinned
+        here for reproducibility.
         """
         lv = np.asarray(level, np.float64)
         y = self.level_curve * self.sign  # non-decreasing
@@ -203,11 +207,12 @@ def measure_knob(model, variables, hp, text_ids, score_fn,
         jnp.repeat(jnp.asarray(code_values, jnp.float32), n_draws))
     text = jnp.broadcast_to(jnp.asarray(ids), (n_codes * n_draws,
                                                ids.shape[1]))
-    out = model.apply(
-        variables, text, style, None, None,
-        max_steps or hp.max_decoder_steps, method=model.infer,
-        rngs={"dropout": jax.random.fold_in(k_run, 0),
-              "noise": jax.random.fold_in(k_run, 1)})
+    infer = jax.jit(lambda v, t, s, kd, kn: model.apply(
+        v, t, s, None, None, max_steps or hp.max_decoder_steps,
+        method=model.infer, rngs={"dropout": kd, "noise": kn}))
+    out = infer(variables, text, style,
+                jax.random.fold_in(k_run, 0),
+                jax.random.fold_in(k_run, 1))
     mels, lengths = np.asarray(out[1]), np.asarray(out[4])
     levels = np.array([
         score_fn(mels[i, :, : max(int(lengths[i]), 2)])

@@ -136,8 +136,12 @@ def main():
         "calibration": json.loads(cal.to_json()),
         "device": str(jax.devices()[0]),
     }
+    # Derive the default output from the EVIDENCE name, not the variant:
+    # calibrating a cap045 checkpoint (--evidence_name
+    # cont_warm_cap045_s0.json) must not overwrite the plain arm's
+    # calibrated_cont_warm_s0.json.
     out_path = args.output or os.path.join(
-        args.evidence, f"calibrated_{args.variant}_s{args.seed}.json")
+        args.evidence, f"calibrated_{evidence_name}")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items()

@@ -41,6 +41,10 @@ STUDY_TEXT = "aeioumnst"  # the campaign's shared probe text
 CODE_LO, CODE_HI = 0.05, 0.95  # training box (gan_continuous_study.py)
 
 
+def _r4(x):
+    return None if x is None else round(x, 4)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--study_root", default="/tmp/contstudy")
@@ -57,12 +61,12 @@ def main():
     args = parser.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from _study_common import small_model_params
     from gan_continuous_study import VARIANTS
     from gantron_tpu.config import HParams
     from gantron_tpu.data.toy import MODEBAND_SCORE
+    from gantron_tpu.eval.calibration import measure_knob
     from gantron_tpu.eval.mode_study import band_channels, hiband_level
     from gantron_tpu.text import text_to_sequence
     from gantron_tpu.train.checkpoint import CheckpointManager
@@ -85,31 +89,17 @@ def main():
 
     model, variables = load_generator(CheckpointManager(arm_dir).latest(), hp)
     seq = np.asarray(
-        text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)[None]
+        text_to_sequence(STUDY_TEXT, ["basic_cleaners"]), np.int32)
     channels = band_channels(hp, *MODEBAND_SCORE)
 
-    infer = jax.jit(lambda v, text, style, kd, kn: model.apply(
-        v, text, style, None, None, hp.max_decoder_steps,
-        method=model.infer, rngs={"dropout": kd, "noise": kn}))
-
-    # Same nuisance-draw protocol/key schedule as the campaign's control
-    # sweep (gan_continuous_study.py): shared nuisance styles, code dim 0
-    # overwritten with the swept value.
-    S = args.code_draws
-    code_values = np.linspace(args.lo, args.hi, args.n_codes)
-    k_nuis, k_run = jax.random.split(jax.random.PRNGKey(77 + args.seed))
-    nuis = jax.random.uniform(k_nuis, (S, 1, hp.noise_size))
-    style_grid = jnp.tile(nuis, (args.n_codes, 1, 1))
-    style_grid = style_grid.at[:, 0, 0].set(
-        jnp.repeat(jnp.asarray(code_values, jnp.float32), S))
-    text = jnp.broadcast_to(jnp.asarray(seq),
-                            (args.n_codes * S, seq.shape[1]))
-    out = infer(variables, text, style_grid,
-                jax.random.fold_in(k_run, 0), jax.random.fold_in(k_run, 1))
-    mels, lens = np.asarray(out[1]), np.asarray(out[4])
-    levels = np.array([
-        hiband_level(mels[i, :, : max(int(lens[i]), 2)], channels)
-        for i in range(mels.shape[0])]).reshape(args.n_codes, S)
+    # The campaign's shared sweep protocol, via its one implementation
+    # (eval.calibration.measure_knob — same key schedule as
+    # gan_continuous_study.py's control sweep).
+    code_values, levels = measure_knob(
+        model, variables, hp, seq,
+        score_fn=lambda mel: hiband_level(mel, channels),
+        code_values=np.linspace(args.lo, args.hi, args.n_codes),
+        n_draws=args.code_draws, seed=args.seed)
     cell_means = levels.mean(axis=1)
 
     in_box = (code_values >= CODE_LO - 1e-9) & (code_values <= CODE_HI + 1e-9)
@@ -128,9 +118,17 @@ def main():
         else:
             inside = (code_values < CODE_LO + 3 * step) & in_box
             outside = code_values < CODE_LO - 1e-9
-        sl_in = np.polyfit(code_values[inside], cell_means[inside], 1)[0]
-        sl_out = np.polyfit(code_values[outside], cell_means[outside], 1)[0]
-        return float(sl_in), float(sl_out)
+
+        def slope(mask):
+            # A 1-point fit is underdetermined and an empty one raises;
+            # report null rather than a garbage number (a sweep confined
+            # to the training box has no outside points at all).
+            if mask.sum() < 2:
+                return None
+            return float(np.polyfit(code_values[mask],
+                                    cell_means[mask], 1)[0])
+
+        return slope(inside), slope(outside)
 
     lo_in, lo_out = edge_slopes("lo")
     hi_in, hi_out = edge_slopes("hi")
@@ -147,10 +145,8 @@ def main():
         "range_extended": round(rng_ext, 4),
         "coverage_in_box": round(rng_in / real_range, 4),
         "coverage_extended": round(rng_ext / real_range, 4),
-        "edge_slope_lo": {"inside": round(lo_in, 4),
-                          "outside": round(lo_out, 4)},
-        "edge_slope_hi": {"inside": round(hi_in, 4),
-                          "outside": round(hi_out, 4)},
+        "edge_slope_lo": {"inside": _r4(lo_in), "outside": _r4(lo_out)},
+        "edge_slope_hi": {"inside": _r4(hi_in), "outside": _r4(hi_out)},
         "campaign_coverage": campaign["control"]["range_coverage"],
         "device": str(jax.devices()[0]),
     }

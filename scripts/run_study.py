@@ -19,7 +19,8 @@ Usage:
 
 Arms run SEQUENTIALLY (one chip); each gets ``timeout`` seconds (default
 7200). Progress + per-arm rc go to <out>/progress.log. Touch <out>/STOP
-to finish the current arm and stop the queue — never kill by pattern.
+to finish the current arm and stop the queue (exit code 3; the file is
+consumed by the next invocation) — never kill by pattern.
 """
 
 import argparse
@@ -148,17 +149,43 @@ def main():
         if name not in arms:
             parser.error(f"unknown arm {name!r} (see --list)")
 
-    failures = 0
-    for name, seed in jobs:
-        study, variant, extra = arms[name]
-        script, default_root = STUDIES[study]
+    def job_root(name):
+        study, variant, _ = arms[name]
         # A named arm reuses its base variant's output dir names; give it
         # its own root so e.g. texture/gp3_rollout cannot overwrite
         # texture/gp_rollout results.
         arm_tag = name.split("/", 1)[1]
+        default_root = STUDIES[study][1]
         if arm_tag != variant:
             default_root = f"{default_root}_{arm_tag}"
-        root = args.output or default_root
+        return args.output or default_root
+
+    # An explicit -o must not let two DIFFERENT arms sharing a base
+    # variant write into the same checkpoint dirs (silently mislabeled
+    # evidence) — refuse up front.
+    claimed = {}
+    for name, _ in jobs:
+        key = (job_root(name), arms[name][0], arms[name][1])
+        if claimed.setdefault(key, name) != name:
+            parser.error(
+                f"arms {claimed[key]!r} and {name!r} would share output "
+                f"dir {key[0]}/{key[2]}*; drop -o so each named arm gets "
+                "its own root, or run them separately")
+
+    # A STOP file is a one-shot signal: consume any stale one so a new
+    # invocation doesn't silently no-op with exit 0.
+    for name, _ in jobs:
+        stale = os.path.join(job_root(name), "STOP")
+        if os.path.exists(stale):
+            os.remove(stale)
+            print(f"removed stale stop-file {stale}")
+
+    failures = 0
+    stopped = False
+    for name, seed in jobs:
+        study, variant, extra = arms[name]
+        script, _ = STUDIES[study]
+        root = job_root(name)
         os.makedirs(root, exist_ok=True)
         stop = os.path.join(root, "STOP")
         log_path = os.path.join(root, "progress.log")
@@ -166,6 +193,7 @@ def main():
             with open(log_path, "a") as log:
                 log.write(f"=== STOPPED by {stop}\n")
             print(f"stop-file {stop} present; not starting {name}:{seed}")
+            stopped = True
             break
         cmd = [sys.executable, os.path.join(HERE, script),
                "--variant", variant, "--seed", str(seed), "-o", root]
@@ -191,6 +219,8 @@ def main():
             log.write(f"=== rc={rc} {stamp}\n")
         print(f"{name}:{seed} rc={rc}")
         failures += rc != 0
+    if stopped:
+        return 3  # distinguishable from "all arms ran" for automation
     return 1 if failures else 0
 
 

@@ -41,7 +41,8 @@ def main():
                     hp.get("gradient_penalty_lambda", 0.0)),
                 "d_dim": next(
                     (int(p.split("=")[1]) for p in ov.split(",")
-                     if p.startswith("discriminator_dim")), 96),
+                     if p.startswith("discriminator_dim")),
+                    hp.get("discriminator_dim", 96)),
                 "recovery": s.get("texture_recovery"),
                 "val_mel": round(s.get("final_validation", {}).get(
                     "Validation mel loss", float("nan")), 3),
