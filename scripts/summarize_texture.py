@@ -22,16 +22,30 @@ def main():
 
     rows = []
     for root in roots:
-        for path in sorted(
-                glob.glob(os.path.join(root, "*", "texture_study.json"))
-                + glob.glob(os.path.join(root, "*", "*_texture.json"))):
+        # Run-dir layout (/tmp/texstudy*/<run>/texture_study.json) and the
+        # committed flat layout (docs/evidence_r5/texture/<arm>_sN.json).
+        paths = sorted(
+            glob.glob(os.path.join(root, "*", "texture_study.json"))
+            + glob.glob(os.path.join(root, "*", "*_texture.json"))
+            + glob.glob(os.path.join(root, "*.json")))
+        for path in paths:
             with open(path) as f:
                 s = json.load(f)
+            if "texture_recovery" not in s:
+                continue
             hp = s.get("hparams", {})
             ov = s.get("hparams_override") or ""
+            if "texstudy_" in root:
+                arm = os.path.basename(root).replace("texstudy_", "")
+            elif os.path.dirname(path).rstrip("/").endswith(root.rstrip("/")):
+                # Flat file: arm is the filename minus the _sN seed tag.
+                import re as _re
+                arm = _re.sub(r"(_s\d+)?(_texture)?$", "",
+                              os.path.splitext(os.path.basename(path))[0])
+            else:
+                arm = s["variant"]
             rows.append({
-                "arm": os.path.basename(root).replace("texstudy_", "")
-                if "texstudy_" in root else s["variant"],
+                "arm": arm,
                 "variant": s["variant"],
                 "override": ov,
                 "seed": s.get("seed", 0),
