@@ -74,6 +74,13 @@ NAMED_ARMS = {
                                   "gradient_penalty_lambda=30.0"]),
     "texture/gp_rollout_d192": (
         "texture", "gp_rollout", ["--hparams", "discriminator_dim=192"]),
+    # Capacity-starvation control for the frontier's mechanism story: if
+    # the 0.001 weight clip starved D of variance-statistics capacity,
+    # halving D width below the study default should reproduce the
+    # starvation (prediction: recovery falls toward the clip-D baseline
+    # 0.368) — measured from the same gp_rollout base as d192.
+    "texture/gp_rollout_d48": (
+        "texture", "gp_rollout", ["--hparams", "discriminator_dim=48"]),
 }
 
 
