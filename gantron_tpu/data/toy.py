@@ -491,6 +491,73 @@ def build_leveled_corpus(root: str, n_utts: int = 200, n_train: int = None,
     return wav_dir + os.sep, train_list, val_list, levels
 
 
+# --- Bileveled corpus: TWO independent CONTINUOUS hidden factors ---
+#
+# The leveled corpus proved ONE continuous knob is identifiable; the
+# reference's designed latent is a continuous noise VECTOR (reference
+# model.py:184-191, 273-279), so the complete claim needs a product of
+# continua: two disjoint marker bands (the factorial corpus's bands A and
+# B), each with its own independent per-utterance level u ~ U(0,1) on the
+# leveled corpus's 18 dB log-sweep. The vector study
+# (scripts/gan_vector_study.py) asks whether a 2-dim continuous code
+# becomes TWO monotone knobs, each bound to its own band — continuous
+# disentanglement, where the factorial study measured the discrete case.
+
+
+def synth_bileveled_utterance(text: str, level_a: float, level_b: float,
+                              rng) -> np.ndarray:
+    """Lowpassed tone-language utterance + steady [4.0,4.8] kHz marker at
+    level ``level_a`` + steady >=5.4 kHz marker at level ``level_b`` (both
+    levels in [0, 1], each scaling its marker by
+    ``2**(-LEVEL_RANGE_OCTAVES*(1-level))`` as in the leveled corpus;
+    constant marker amplitude and 3.7 kHz base lowpass follow the
+    factorial corpus's instrument-soundness choices)."""
+    wav = synth_utterance(text, rng)
+    spec = np.fft.rfft(wav)
+    freqs = np.fft.rfftfreq(wav.size, 1.0 / SR)
+    spec[freqs >= FACTORIAL_LOWPASS_HZ] = 0
+    wav = np.fft.irfft(spec, n=wav.size).astype(np.float32)
+    amp = HIBAND_AMP * (float(np.abs(wav).mean()) + 0.05)
+    amp_a = amp * 2.0 ** (-LEVEL_RANGE_OCTAVES * (1.0 - float(level_a)))
+    wav = wav + amp_a * _bandlimited_noise(wav.size, MODEBAND_LO_HZ,
+                                           MODEBAND_HI_HZ, rng)
+    amp_b = amp * 2.0 ** (-LEVEL_RANGE_OCTAVES * (1.0 - float(level_b)))
+    wav = wav + amp_b * _bandlimited_noise(wav.size, TEXBAND_LO_HZ,
+                                           SR / 2.0, rng)
+    return wav.astype(np.float32)
+
+
+def build_bileveled_corpus(root: str, n_utts: int = 200,
+                           n_train: int = None, min_chars: int = 5,
+                           max_chars: int = 9, seed: int = 0):
+    """LJSpeech-layout corpus with two independent continuous hidden
+    factors (marker levels u_a on [4.0,4.8] kHz, u_b on >=5.4 kHz; both
+    ~ U(0,1), hidden from text/labels). Returns (wav_dir_with_sep,
+    train_filelist, val_filelist, levels) where ``levels`` maps wav
+    filename -> (u_a, u_b)."""
+    n_train = n_train if n_train is not None else max(n_utts - 10, 1)
+    wav_dir = os.path.join(root, "wavs")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    letters = list(CHARS.strip())
+    lines = []
+    levels = {}
+    for i in range(n_utts):
+        n_chars = rng.randint(min_chars, max_chars)
+        text = "".join(rng.choice(letters) for _ in range(n_chars))
+        ua, ub = float(rng.rand()), float(rng.rand())
+        name = f"u{i}.wav"
+        _emit_wav(os.path.join(wav_dir, name),
+                  synth_bileveled_utterance(text, ua, ub, rng))
+        levels[name] = (ua, ub)
+        lines.append(f"{name}|{text}")
+    train_list = os.path.join(root, "train.txt")
+    val_list = os.path.join(root, "val.txt")
+    _write_filelist(train_list, lines[:n_train])
+    _write_filelist(val_list, lines[n_train:])
+    return wav_dir + os.sep, train_list, val_list, levels
+
+
 def build_corpus(root: str, n_utts: int = 20, n_train: int = None,
                  min_chars: int = 4, max_chars: int = 9, seed: int = 0):
     """Write wavs + LJSpeech-format filelists under ``root``.

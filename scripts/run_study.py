@@ -38,6 +38,7 @@ STUDIES = {
     "factorial": ("gan_factorial_study.py", "/tmp/factorialstudy"),
     "mode": ("gan_mode_study.py", "/tmp/modestudy"),
     "texture": ("gan_texture_study.py", "/tmp/texstudy"),
+    "vector": ("gan_vector_study.py", "/tmp/vectorstudy"),
     "composed": ("gan_composed_study.py", "/tmp/composedstudy"),
     "evidence": ("evidence_run.py", "/tmp/evidence"),
 }

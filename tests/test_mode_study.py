@@ -334,6 +334,50 @@ def test_leveled_corpus_instrument(tmp_path):
     assert pear > 0.9
 
 
+def test_bileveled_corpus_instrument(tmp_path):
+    """The two-continuous-factor corpus (the vector study's instrument,
+    scripts/gan_vector_study.py) is sound only if EACH hidden level is
+    monotone on ITS band through the trained-on mel extraction AND the
+    cross-band leakage is small — the continuous analog of the factorial
+    corpus's independence check."""
+    from scipy import stats as sstats
+
+    from gantron_tpu.data.toy import (MODEBAND_SCORE, TEXBAND_SCORE,
+                                      build_bileveled_corpus)
+    from gantron_tpu.eval.mode_study import band_channels, compute_real_levels
+
+    root = str(tmp_path)
+    wav_dir, train_list, val_list, levels = build_bileveled_corpus(
+        root, n_utts=40, n_train=40)
+    ua = [uv[0] for uv in levels.values()]
+    ub = [uv[1] for uv in levels.values()]
+    assert all(0.0 <= u <= 1.0 for u in ua + ub)
+    # Independent draws: the two levels must not be correlated by
+    # construction.
+    assert abs(sstats.spearmanr(ua, ub).statistic) < 0.5
+
+    hp = HParams()
+    hp.add_params(dict(text_buckets=[12], mel_buckets=[60],
+                       training_files=[train_list],
+                       validation_files=[val_list]))
+    chans = [band_channels(hp, *MODEBAND_SCORE),
+             band_channels(hp, TEXBAND_SCORE)]
+    curves = [compute_real_levels(
+        train_list, wav_dir, {n: uv[b] for n, uv in levels.items()}, hp,
+        channels=chans[b]) for b in range(2)]
+    for curve in curves:
+        assert curve["spearman"] > 0.9
+        assert curve["spearman_p"] < 1e-6
+        assert curve["p95"] - curve["p5"] > 1.5
+    # Cross-band leakage: band b's level must NOT track the OTHER factor.
+    for b in range(2):
+        cross = compute_real_levels(
+            train_list, wav_dir,
+            {n: uv[1 - b] for n, uv in levels.items()}, hp,
+            channels=chans[b])
+        assert abs(cross["spearman"]) < 0.4
+
+
 def test_continuous_control_stats():
     """A monotone code->level transfer scores high Spearman / coverage /
     control ratio with a significant permutation p; a code-ignoring
