@@ -31,7 +31,7 @@ import json
 
 import numpy as np
 
-__all__ = ["KnobCalibration", "measure_knob", "pava"]
+__all__ = ["KnobCalibration", "VectorCalibration", "measure_knob", "pava"]
 
 
 def pava(y: np.ndarray, weights: np.ndarray = None) -> np.ndarray:
@@ -214,7 +214,108 @@ def measure_knob(model, variables, hp, text_ids, score_fn,
                 jax.random.fold_in(k_run, 0),
                 jax.random.fold_in(k_run, 1))
     mels, lengths = np.asarray(out[1]), np.asarray(out[4])
-    levels = np.array([
+    scores = np.array([
         score_fn(mels[i, :, : max(int(lengths[i]), 2)])
-        for i in range(mels.shape[0])]).reshape(n_codes, n_draws)
+        for i in range(mels.shape[0])])
+    # A scalar score_fn gives (n_codes, n_draws); a vector one (e.g. one
+    # level per band for VectorCalibration.fit) keeps its trailing axes.
+    levels = scores.reshape(n_codes, n_draws, *scores.shape[1:])
     return code_values, levels
+
+
+class VectorCalibration:
+    """Linear unmix of an N-dim continuous code onto N measured factors.
+
+    The vector study (scripts/gan_vector_study.py, TRAINING_EVIDENCE
+    "Vector control") measured that a multi-dim continuous code
+    identifies a product of continuous factors only UP TO ROTATION: every
+    code dim is a significant knob (perm p < 0.05 on 3/3 seeds) but the
+    code axes land rotated/entangled against the factor axes, and —
+    unlike the discrete factorial case — training time does not
+    axis-align them, because the identification objective is
+    ~rotation-invariant over a continuous code box. The serving
+    consequence mirrors the 1-dim gain problem (:class:`KnobCalibration`)
+    one rank up: the control MATRIX must be measured and inverted.
+
+    Model: ``levels ≈ c + M @ (code - 0.5)`` with M[b, d] the measured
+    linear response of factor b to code dim d. Fit from per-dim sweeps
+    (:func:`measure_knob` with a vector score_fn); invert with
+    :meth:`code_for_levels` to get the code that REQUESTS a target level
+    per factor — the rotated code becomes a panel of axis-aligned
+    virtual knobs. The reference has no analogue (its noise vector is
+    uncalibrated, reference model.py:184-191, 273-279).
+    """
+
+    def __init__(self, matrix, intercept, code_box=(0.05, 0.95)):
+        self.matrix = np.asarray(matrix, np.float64)
+        self.intercept = np.asarray(intercept, np.float64)
+        n = self.intercept.size
+        if self.matrix.shape != (n, n):
+            raise ValueError("matrix must be (n_bands, n_dims) square")
+        self.code_box = (float(code_box[0]), float(code_box[1]))
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def fit(cls, sweeps, code_box=(0.05, 0.95)):
+        """``sweeps``: list over code dims of ``(code_values, levels)``
+        from :func:`measure_knob` with a vector score_fn — ``levels``
+        shaped (n_codes, n_draws, n_bands), every dim scored on the same
+        bands. Least-squares line per (band, dim) on the draw-averaged
+        cell means; the intercept is each band's fitted level at the
+        code-box center, averaged over the per-dim sweeps."""
+        n = len(sweeps)
+        M = np.zeros((n, n))
+        c_est = np.zeros((n, n))  # per-dim estimate of each band's center
+        for d, (code_values, levels) in enumerate(sweeps):
+            code_values = np.asarray(code_values, np.float64)
+            means = np.asarray(levels, np.float64).mean(axis=1)  # (nc, nb)
+            if means.ndim != 2 or means.shape[1] != n:
+                raise ValueError(
+                    "each sweep needs (n_codes, n_draws, n_bands) levels "
+                    "with n_bands == number of sweeps")
+            x = np.stack([code_values - 0.5,
+                          np.ones_like(code_values)], axis=1)
+            coef, *_ = np.linalg.lstsq(x, means, rcond=None)  # (2, nb)
+            M[:, d] = coef[0]
+            c_est[:, d] = coef[1]
+        return cls(M, c_est.mean(axis=1), code_box=code_box)
+
+    # -- queries --------------------------------------------------------
+
+    @property
+    def condition_number(self) -> float:
+        return float(np.linalg.cond(self.matrix))
+
+    def levels_for_code(self, code):
+        """Forward model: predicted level per factor for a code vector."""
+        code = np.asarray(code, np.float64)
+        return self.intercept + self.matrix @ (code - 0.5)
+
+    def code_for_levels(self, targets):
+        """Solve for the code requesting ``targets`` (one level per
+        factor). Returns ``(code, in_box)``: the solution clipped to the
+        code box, and whether the UNCLIPPED solution was inside it (a
+        clipped request is the nearest box point along each axis, not an
+        exact hit — the caller decides whether that is acceptable)."""
+        targets = np.asarray(targets, np.float64)
+        x = np.linalg.solve(self.matrix, targets - self.intercept)
+        code = 0.5 + x
+        lo, hi = self.code_box
+        clipped = np.clip(code, lo, hi)
+        return clipped, bool(np.all((code >= lo) & (code <= hi)))
+
+    # -- (de)serialization ---------------------------------------------
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "matrix": self.matrix.tolist(),
+            "intercept": self.intercept.tolist(),
+            "code_box": list(self.code_box),
+        })
+
+    @classmethod
+    def from_json(cls, s: str):
+        d = json.loads(s)
+        return cls(d["matrix"], d["intercept"],
+                   code_box=tuple(d.get("code_box", (0.05, 0.95))))

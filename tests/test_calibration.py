@@ -158,3 +158,84 @@ def test_synthesizer_level_serving():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def _synthetic_sweeps(M, c, code_values, S=4, noise=0.01, seed=0):
+    """Per-dim measure_knob-shaped sweeps from a known linear system."""
+    rng = np.random.RandomState(seed)
+    n = len(c)
+    sweeps = []
+    for d in range(n):
+        levels = np.empty((len(code_values), S, n))
+        for i, cv in enumerate(code_values):
+            for s in range(S):
+                code = rng.uniform(0.05, 0.95, n)  # nuisance on other dims
+                code[d] = cv
+                levels[i, s] = c + M @ (code - 0.5) + rng.randn(n) * noise
+        sweeps.append((code_values, levels))
+    return sweeps
+
+
+def test_vector_calibration_fit_recovers_system():
+    from gantron_tpu.eval.calibration import VectorCalibration
+
+    M = np.array([[1.8, 0.7], [-0.9, 1.1]])  # rotated, full-rank
+    c = np.array([-6.0, -4.5])
+    codes = np.linspace(0.05, 0.95, 11)
+    cal = VectorCalibration.fit(_synthetic_sweeps(M, c, codes))
+    # Slopes recover despite the other dim riding in the nuisance draws.
+    assert np.allclose(cal.matrix, M, atol=0.15)
+    assert np.allclose(cal.intercept, c, atol=0.1)
+    assert cal.condition_number < 10
+
+
+def test_vector_calibration_inverts_rotation():
+    from gantron_tpu.eval.calibration import VectorCalibration
+
+    M = np.array([[1.8, 0.7], [-0.9, 1.1]])
+    c = np.array([-6.0, -4.5])
+    cal = VectorCalibration(M, c)
+    # A reachable joint target inverts exactly and stays in the box.
+    target = c + np.array([0.3, -0.2])
+    code, in_box = cal.code_for_levels(target)
+    assert in_box
+    assert np.allclose(cal.levels_for_code(code), target, atol=1e-9)
+    # An unreachable target reports the clip instead of silently lying.
+    far = c + np.array([5.0, -5.0])
+    code, in_box = cal.code_for_levels(far)
+    assert not in_box
+    assert np.all((code >= 0.05) & (code <= 0.95))
+
+
+def test_vector_calibration_json_roundtrip():
+    from gantron_tpu.eval.calibration import VectorCalibration
+
+    cal = VectorCalibration([[1.0, 0.2], [0.1, -0.8]], [-5.0, -7.0])
+    cal2 = VectorCalibration.from_json(cal.to_json())
+    assert np.allclose(cal2.matrix, cal.matrix)
+    assert np.allclose(cal2.intercept, cal.intercept)
+    assert cal2.code_box == cal.code_box
+
+
+def test_measure_knob_vector_score_fn_keeps_band_axis():
+    """A vector score_fn must come back as (n_codes, n_draws, n_bands),
+    feeding VectorCalibration.fit directly."""
+    hp = HParams()
+    hp.add_params(dict(
+        symbols_embedding_dim=32, encoder_embedding_dim=32,
+        encoder_n_convolutions=1, attention_rnn_dim=32, decoder_rnn_dim=32,
+        prenet_dim=16, attention_dim=16, attention_location_n_filters=4,
+        attention_location_kernel_size=7, postnet_embedding_dim=32,
+        postnet_n_convolutions=2, max_decoder_steps=12, noise_size=8,
+        use_noise=True, use_labels=False, n_frames_per_step=1))
+    model = Tacotron2(hp)
+    ids = np.array([[5, 6, 7]], np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+         "noise": jax.random.PRNGKey(2)},
+        ids, None, None, None, 4, method=model.infer)
+    codes, levels = measure_knob(
+        model, variables, hp, ids,
+        score_fn=lambda mel: np.array([mel.mean(), mel.std()]),
+        code_values=np.linspace(0.1, 0.9, 3), n_draws=2, max_steps=8)
+    assert levels.shape == (3, 2, 2)
