@@ -32,12 +32,14 @@ scored by:
 
 Arms: ``nogan`` (MSE floor / instrument anchor) and ``vec_warm`` (the
 continuous campaign's endpoint config with style_code_dims=2 and the
-factorial campaign's diversity_subset_redraw). diversity_cap stays at
-the campaign default 0.9: the calibrated-cap finding (TRAINING_EVIDENCE
-"Why coverage varies") measured the LEVELED corpus's on-manifold
-full-range distance at 0.435 with ONE swept band — with two independent
-bands the corner-to-corner distance is ~2x that, so 0.9 is approximately
-the calibrated value for THIS corpus rather than 2x off.
+factorial campaign's diversity_subset_redraw). The base arm keeps the
+campaign default diversity_cap=0.9; the corpus's MEASURED on-manifold
+maximum (same-text corner renders u=(0.05,0.05) vs (0.95,0.95), 6 texts
+x 4 draws) is 0.676 +/- 0.011 (one-band swing 0.452, within-level
+jitter 0.298 — the disjoint bands' contributions add on the shared
+jitter floor, not linearly), so 0.9 sits 1.33x above it — the leveled
+corpus's mis-calibration pathology, milder. The calibration recipe's
+arm is `run_study.py --arm vector/vec_warm_cap068`.
 
 Usage: python scripts/gan_vector_study.py --variant vec_warm --seed 0
 """

@@ -82,6 +82,15 @@ NAMED_ARMS = {
     # 0.368) — measured from the same gp_rollout base as d192.
     "texture/gp_rollout_d48": (
         "texture", "gp_rollout", ["--hparams", "discriminator_dim=48"]),
+    # Calibrated diversity cap for the BILEVELED corpus: measured
+    # same-text corner distance (u=(0.05,0.05) vs (0.95,0.95), 6 texts x
+    # 4 draws) is 0.676 +/- 0.011 (one-band swing 0.452, within-level
+    # jitter 0.298), so the campaign default 0.9 sits 1.33x above the
+    # on-manifold maximum — same pathology as the leveled corpus's 2x,
+    # milder. This arm applies the continuous campaign's calibration
+    # recipe (cap AT the measured corner distance).
+    "vector/vec_warm_cap068": (
+        "vector", "vec_warm", ["--hparams", "diversity_cap=0.68"]),
 }
 
 
