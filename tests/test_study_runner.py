@@ -36,7 +36,9 @@ def test_campaign_arms_present():
                      "continuous/rollout", "continuous/nogan",
                      "continuous/cont_warm_cap045", "factorial/s2_9k",
                      "texture/gp_rollout", "texture/gp3_rollout",
-                     "texture/gp30_rollout", "texture/gp_rollout_d192"]:
+                     "texture/gp30_rollout", "texture/gp_rollout_d192",
+                     "texture/gp_rollout_d48", "vector/vec_warm",
+                     "vector/nogan", "vector/vec_warm_cap068"]:
         assert required in arms, required
 
 
